@@ -1,0 +1,700 @@
+"""RNS-CKKS evaluator: the device-side homomorphic op surface.
+
+Implements, TPU-native, exactly the OpenFHE CryptoContext surface the
+reference consumes (SURVEY.md L0): EvalAdd/Sub/Mult/Square (ct-ct, ct-pt,
+ct-scalar) with FLEXIBLEAUTO-style lazy rescaling, EvalMultAndRelinearize,
+EvalRotate via Galois automorphism + hybrid key switching, hoisted fast
+rotations (EvalFastRotationPrecompute/EvalFastRotation), MakeCKKSPackedPlaintext
+with SetSlots semantics, Encrypt/Decrypt (host client), level/scale tracking.
+
+Representation: ciphertext components are uint32 [k, limbs, n] arrays in the
+NTT (evaluation) domain and the Montgomery domain (see rns.py).  All base
+conversion / rescale constants have the Montgomery factor folded in so data
+never leaves the Montgomery domain.
+
+Scale management: canonical per-limb-count scales S[l] anchored at
+Delta = 2^scale_bits via adaptive prime selection (params.py); cts carry an
+exact float64 scale; additions between mismatched operands are adjusted
+exactly (integer scalar multiply + rescale), mirroring OpenFHE's
+FLEXIBLEAUTO adjustment machinery.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, replace
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import nt, encoding
+from .params import CkksParams, CkksConfig, BASE_LIMBS
+from .keys import KeyGenerator, Encryptor, Decryptor
+from .rns import add_mod, sub_mod, mont_mul, shoup_mul, barrett_reduce_u32
+from .ntt import ntt_fwd_t, ntt_inv_t
+
+SCALE_TOL = 2.0 ** -25
+
+
+@dataclass
+class Ciphertext:
+    """data: [k, limbs, n] uint32, NTT+Montgomery domain, k in {2, 3}."""
+    data: jnp.ndarray
+    scale: float
+    noise_deg: int      # 1: scale ~ S[l]; 2: product awaiting rescale
+    slots: int
+
+    @property
+    def limbs(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def k(self) -> int:
+        return self.data.shape[0]
+
+    def with_slots(self, s: int) -> "Ciphertext":
+        """SetSlots: metadata-only reinterpretation (OpenFHE semantics)."""
+        return replace(self, slots=s)
+
+
+@dataclass
+class Plaintext:
+    data: jnp.ndarray   # [limbs, n] NTT+Montgomery
+    scale: float
+    slots: int
+
+    @property
+    def limbs(self) -> int:
+        return self.data.shape[0]
+
+
+def _shoup_host(w: int, p: int) -> tuple[int, int]:
+    return w % p, ((w % p) << 32) // p
+
+
+class _LevelTables:
+    """Per-limb-count device constants for rescale / keyswitch / moddown."""
+
+    def __init__(self, P: CkksParams, l: int):
+        q = P.q
+        n = P.n
+        nq = P.nq
+        ksp = P.num_special
+        sp = P.p_special
+        ntt = P.ntt
+        self.l = l
+
+        # --- NTT table slices ---
+        self.q_p = ntt.p[:l]
+        self.q_psi = ntt.psi[:l]
+        self.q_psi_sh = ntt.psi_sh[:l]
+        self.q_ipsi = ntt.ipsi[:l]
+        self.q_ipsi_sh = ntt.ipsi_sh[:l]
+        self.q_ninv = ntt.n_inv[:l]
+        self.q_ninv_sh = ntt.n_inv_sh[:l]
+        sprows = np.arange(nq, nq + ksp)
+        ext_rows = np.concatenate([np.arange(l), sprows])
+        self.ext_p = ntt.p[ext_rows]
+        self.ext_psi = ntt.psi[ext_rows]
+        self.ext_psi_sh = ntt.psi_sh[ext_rows]
+        self.sp_p = ntt.p[sprows]
+        self.sp_ipsi = ntt.ipsi[sprows]
+        self.sp_ipsi_sh = ntt.ipsi_sh[sprows]
+        self.sp_ninv = ntt.n_inv[sprows]
+        self.sp_ninv_sh = ntt.n_inv_sh[sprows]
+
+        # --- rescale tables (drop prime q[l-1]) ---
+        if l > BASE_LIMBS:
+            qd = q[l - 1]
+            rinv = nt.mod_inverse((1 << 32) % qd, qd)
+            self.rs_rinv = jnp.uint32(rinv)
+            self.rs_rinv_sh = jnp.uint32((rinv << 32) // qd)
+            self.rs_qd = jnp.uint32(qd)
+            self.rs_half = jnp.uint32(qd // 2)
+            tgt = q[: l - 1]
+            self.rs_pbar = jnp.asarray(
+                np.array([(1 << 32) // p for p in tgt], dtype=np.uint32))
+            self.rs_qd_mod = jnp.asarray(
+                np.array([qd % p for p in tgt], dtype=np.uint32))
+            rmod = [(1 << 32) % p for p in tgt]
+            self.rs_rmod = jnp.asarray(np.array(rmod, dtype=np.uint32))
+            self.rs_rmod_sh = jnp.asarray(np.array(
+                [(r << 32) // p for r, p in zip(rmod, tgt)], dtype=np.uint32))
+            qdi = [nt.mod_inverse(qd % p, p) for p in tgt]
+            self.rs_qdinv = jnp.asarray(np.array(qdi, dtype=np.uint32))
+            self.rs_qdinv_sh = jnp.asarray(np.array(
+                [(v << 32) // p for v, p in zip(qdi, tgt)], dtype=np.uint32))
+
+        # --- keyswitch digit tables ---
+        alpha = P.alpha
+        ndig = -(-l // alpha)
+        self.ndig = ndig
+        self.digits = [list(range(j * alpha, min((j + 1) * alpha, l)))
+                       for j in range(ndig)]
+        ext_primes = [q[i] for i in range(l)] + list(sp)
+        self.ext_primes = ext_primes
+        R = 1 << 32
+        self.dig_in = []      # (w, w_sh) [dj] plain-producing constants
+        self.dig_conv = []    # (C_w, C_sh) [dj, l+ksp]
+        for dig in self.digits:
+            D = 1
+            for i in dig:
+                D *= q[i]
+            w_in = []
+            wsh_in = []
+            Cw = np.zeros((len(dig), len(ext_primes)), dtype=np.uint32)
+            Csh = np.zeros_like(Cw)
+            for a, i in enumerate(dig):
+                d = q[i]
+                dh = D // d
+                # fold R^{-1}: Mont input -> plain [x * (D/d)^{-1}]_d
+                c = nt.mod_inverse(dh % d, d) * nt.mod_inverse(R % d, d) % d
+                w_in.append(c)
+                wsh_in.append((c << 32) // d)
+                for r, pr in enumerate(ext_primes):
+                    # fold R: plain xhat -> Mont output
+                    cc = (dh % pr) * (R % pr) % pr
+                    Cw[a, r] = cc
+                    Csh[a, r] = (cc << 32) // pr
+            self.dig_in.append((
+                jnp.asarray(np.array(w_in, dtype=np.uint32)),
+                jnp.asarray(np.array(wsh_in, dtype=np.uint32))))
+            self.dig_conv.append((jnp.asarray(Cw), jnp.asarray(Csh)))
+
+        # --- moddown tables (basis P -> q rows) ---
+        Pint = P.P_int
+        w_in = []
+        wsh_in = []
+        Cw = np.zeros((ksp, l), dtype=np.uint32)
+        Csh = np.zeros_like(Cw)
+        for a, p in enumerate(sp):
+            ph = Pint // p
+            c = nt.mod_inverse(ph % p, p) * nt.mod_inverse(R % p, p) % p
+            w_in.append(c)
+            wsh_in.append((c << 32) // p)
+            for r in range(l):
+                qr = q[r]
+                cc = (ph % qr) * (R % qr) % qr
+                Cw[a, r] = cc
+                Csh[a, r] = (cc << 32) // qr
+        self.md_in = (jnp.asarray(np.array(w_in, dtype=np.uint32)),
+                      jnp.asarray(np.array(wsh_in, dtype=np.uint32)))
+        self.md_conv = (jnp.asarray(Cw), jnp.asarray(Csh))
+        pinv = [nt.mod_inverse(Pint % q[r], q[r]) for r in range(l)]
+        self.md_pinv = jnp.asarray(np.array(pinv, dtype=np.uint32))
+        self.md_pinv_sh = jnp.asarray(np.array(
+            [(v << 32) // q[r] for r, v in enumerate(pinv)], dtype=np.uint32))
+        # approximate-extension magnitude correction is omitted (HPS-style
+        # approximate conversion; error < ksp per coefficient, absorbed by
+        # CKKS noise) — same design as OpenFHE ApproxSwitchCRTBasis.
+
+
+# ===================== device kernels (pure functions) =====================
+
+
+def _k_add(a, b, p):
+    return add_mod(a, b, p)
+
+
+def _k_sub(a, b, p):
+    return sub_mod(a, b, p)
+
+
+def _k_mult3(a, b, p, npi):
+    """(a0,a1) x (b0,b1) -> (d0,d1,d2) tensor product."""
+    pb = p.reshape(1, -1, 1)
+    nb = npi.reshape(1, -1, 1)
+    d0 = mont_mul(a[0:1], b[0:1], pb, nb)
+    d2 = mont_mul(a[1:2], b[1:2], pb, nb)
+    d1 = add_mod(mont_mul(a[0:1], b[1:2], pb, nb),
+                 mont_mul(a[1:2], b[0:1], pb, nb), pb)
+    return jnp.concatenate([d0, d1, d2], axis=0)
+
+
+def _k_square3(a, p, npi):
+    pb = p.reshape(1, -1, 1)
+    nb = npi.reshape(1, -1, 1)
+    d0 = mont_mul(a[0:1], a[0:1], pb, nb)
+    d2 = mont_mul(a[1:2], a[1:2], pb, nb)
+    x = mont_mul(a[0:1], a[1:2], pb, nb)
+    d1 = add_mod(x, x, pb)
+    return jnp.concatenate([d0, d1, d2], axis=0)
+
+
+def _k_pt_mul(a, pt, p, npi):
+    pb = p.reshape(1, -1, 1)
+    nb = npi.reshape(1, -1, 1)
+    return mont_mul(a, pt[None], pb, nb)
+
+
+def _k_const_mul(a, w, w_sh, p):
+    """Multiply by per-limb plain constants (shape [l])."""
+    pb = p.reshape(1, -1, 1)
+    return shoup_mul(a, w.reshape(1, -1, 1), w_sh.reshape(1, -1, 1), pb)
+
+
+def _k_rescale(data, T: _LevelTables):
+    """Drop last limb: (c - lift([c]_{q_last})) * q_last^{-1}."""
+    l = data.shape[1]
+    last = data[:, l - 1:l, :]                       # [k,1,n] NTT Mont
+    lc = ntt_inv_t(last, T.q_p[l - 1:l], T.q_ipsi[l - 1:l],
+                   T.q_ipsi_sh[l - 1:l], T.q_ninv[l - 1:l],
+                   T.q_ninv_sh[l - 1:l])
+    v = shoup_mul(lc, T.rs_rinv, T.rs_rinv_sh, T.rs_qd)   # plain [k,1,n]
+    big = v > T.rs_half
+    tgt_p = T.q_p[: l - 1].reshape(1, -1, 1)
+    r = barrett_reduce_u32(v, tgt_p, T.rs_pbar.reshape(1, -1, 1))
+    r = jnp.where(big, sub_mod(r, T.rs_qd_mod.reshape(1, -1, 1), tgt_p), r)
+    rm = shoup_mul(r, T.rs_rmod.reshape(1, -1, 1),
+                   T.rs_rmod_sh.reshape(1, -1, 1), tgt_p)   # to Mont
+    rn = ntt_fwd_t(rm, T.q_p[: l - 1], T.q_psi[: l - 1], T.q_psi_sh[: l - 1])
+    diff = sub_mod(data[:, : l - 1, :], rn, tgt_p)
+    return shoup_mul(diff, T.rs_qdinv.reshape(1, -1, 1),
+                     T.rs_qdinv_sh.reshape(1, -1, 1), tgt_p)
+
+
+def _k_decompose(cx, T: _LevelTables):
+    """Hybrid-keyswitch digit decomposition of one poly [l, n] (NTT Mont).
+
+    Returns ext digits stacked [ndig, l+ksp, n] in NTT+Mont domain
+    (EvalFastRotationPrecompute equivalent)."""
+    l = cx.shape[0]
+    cc = ntt_inv_t(cx, T.q_p, T.q_ipsi, T.q_ipsi_sh, T.q_ninv, T.q_ninv_sh)
+    exts = []
+    for j, dig in enumerate(T.digits):
+        x = cc[dig[0]: dig[-1] + 1]                  # [dj, n] Mont coeff
+        w, wsh = T.dig_in[j]
+        dp = T.q_p[dig[0]: dig[-1] + 1]
+        xhat = shoup_mul(x, w.reshape(-1, 1), wsh.reshape(-1, 1),
+                         dp.reshape(-1, 1))          # plain [dj, n]
+        Cw, Csh = T.dig_conv[j]
+        pe = T.ext_p.reshape(-1, 1)
+        acc = None
+        for a in range(len(dig)):
+            term = shoup_mul(xhat[a][None, :], Cw[a].reshape(-1, 1),
+                             Csh[a].reshape(-1, 1), pe)   # [l+ksp, n] Mont
+            acc = term if acc is None else add_mod(acc, term, pe)
+        # exact copies for in-digit rows (consistent: offset ≡ 0 mod them)
+        acc = acc.at[dig[0]: dig[-1] + 1].set(x)
+        ext = ntt_fwd_t(acc, T.ext_p, T.ext_psi, T.ext_psi_sh)
+        exts.append(ext)
+    return jnp.stack(exts)
+
+
+def _k_ks_inner(exts, ksk, T: _LevelTables):
+    """Inner product of ext digits with key: returns [2, l+ksp, n]."""
+    pe = T.ext_p.reshape(1, -1, 1)
+    # ksk: [>=ndig, 2, nq+ksp, n]; rows already selected by caller
+    acc = None
+    for j in range(exts.shape[0]):
+        from .rns import mont_mul as mm
+        npi = T.ext_npi.reshape(1, -1, 1)
+        term = mm(exts[j][None], ksk[j], pe, npi)     # [2, l+ksp, n]
+        acc = term if acc is None else add_mod(acc, term, pe)
+    return acc
+
+
+def _k_moddown(acc, T: _LevelTables):
+    """[k, l+ksp, n] NTT Mont -> [k, l, n]: (x - lift([x]_P)) * P^{-1}."""
+    l = T.l
+    spv = acc[:, l:, :]
+    spc = ntt_inv_t(spv, T.sp_p, T.sp_ipsi, T.sp_ipsi_sh,
+                    T.sp_ninv, T.sp_ninv_sh)          # [k, ksp, n] Mont coeff
+    w, wsh = T.md_in
+    xhat = shoup_mul(spc, w.reshape(1, -1, 1), wsh.reshape(1, -1, 1),
+                     T.sp_p.reshape(1, -1, 1))        # plain
+    Cw, Csh = T.md_conv
+    qp = T.q_p.reshape(1, -1, 1)
+    conv = None
+    for a in range(spc.shape[1]):
+        term = shoup_mul(xhat[:, a:a + 1, :], Cw[a].reshape(1, -1, 1),
+                         Csh[a].reshape(1, -1, 1), qp)  # [k, l, n] Mont
+        conv = term if conv is None else add_mod(conv, term, qp)
+    convn = ntt_fwd_t(conv, T.q_p, T.q_psi, T.q_psi_sh)
+    diff = sub_mod(acc[:, :l, :], convn, qp)
+    return shoup_mul(diff, T.md_pinv.reshape(1, -1, 1),
+                     T.md_pinv_sh.reshape(1, -1, 1), qp)
+
+
+def _k_automorph(data, perm):
+    return data[..., perm]
+
+
+# ===================== context =====================
+
+
+class CkksContext:
+    """CryptoContext equivalent: params + keys + evaluator + client ops."""
+
+    def __init__(self, cfg: CkksConfig):
+        self.cfg = cfg
+        self.params = CkksParams(cfg)
+        P = self.params
+        self.n = P.n
+        self.delta = float(2 ** cfg.scale_bits)
+        self.keygen = KeyGenerator(P)
+        self.encryptor = Encryptor(P, self.keygen.public_key)
+        self.decryptor = Decryptor(P, self.keygen.sk)
+        self.relin_key = jnp.asarray(self.keygen.gen_relin_key())
+        self.rot_keys: dict[int, jnp.ndarray] = {}
+        self._tables: dict[int, _LevelTables] = {}
+        self._perm_cache: dict[int, jnp.ndarray] = {}
+        self._pt_cache: dict = {}
+        self.mult_count = 0
+        self.rot_count = 0
+
+    # ---------------- tables ----------------
+    def tables(self, l: int) -> _LevelTables:
+        if l not in self._tables:
+            T = _LevelTables(self.params, l)
+            npi_rows = np.concatenate([
+                np.arange(l), np.arange(self.params.nq,
+                                        self.params.nq + self.params.num_special)])
+            T.ext_npi = self.params.mont_neg_p_inv[npi_rows]
+            T.q_npi = self.params.mont_neg_p_inv[:l]
+            self._tables[l] = T
+        return self._tables[l]
+
+    def canonical_scale(self, l: int) -> float:
+        return self.params.canonical_scale[l]
+
+    # ---------------- key management ----------------
+    def gen_rotation_keys(self, indices: list[int]):
+        """EvalRotateKeyGen equivalent."""
+        half = self.n // 2
+        for k in indices:
+            kk = k % half
+            if kk and kk not in self.rot_keys:
+                g = encoding.galois_element_for_rotation(self.n, kk)
+                self.rot_keys[kk] = jnp.asarray(self.keygen.gen_rotation_key(g))
+
+    def _perm(self, k: int) -> jnp.ndarray:
+        if k not in self._perm_cache:
+            g = encoding.galois_element_for_rotation(self.n, k)
+            self._perm_cache[k] = jnp.asarray(
+                encoding.automorphism_eval_perm(self.n, g).astype(np.int32))
+        return self._perm_cache[k]
+
+    # ---------------- client ops (host) ----------------
+    def encrypt(self, values, slots: int | None = None) -> Ciphertext:
+        slots = slots or self.params.num_slots
+        coeffs = encoding.encode_real(np.asarray(values, dtype=np.float64),
+                                      self.n, self.delta, slots)
+        data = self.encryptor.encrypt_coeffs(coeffs)
+        return Ciphertext(jnp.asarray(data), self.delta, 1, slots)
+
+    def decrypt(self, ct: Ciphertext) -> np.ndarray:
+        need = 3 if (ct.noise_deg == 2 or ct.scale > 2 ** 40) else 2
+        data = np.asarray(ct.data)
+        coeffs = self.decryptor.decrypt_to_coeffs(
+            data, ct.limbs, max_limbs=min(ct.limbs, need))
+        return encoding.decode_real(coeffs.astype(np.float64), self.n,
+                                    ct.scale, ct.slots)
+
+    def zero_like(self, ct: Ciphertext) -> Ciphertext:
+        return Ciphertext(jnp.zeros_like(ct.data), ct.scale, ct.noise_deg,
+                          ct.slots)
+
+    def fresh_zero(self, slots: int | None = None) -> Ciphertext:
+        slots = slots or self.params.num_slots
+        z = jnp.zeros((2, self.params.nq, self.n), dtype=jnp.uint32)
+        return Ciphertext(z, self.delta, 1, slots)
+
+    # ---------------- plaintext encoding ----------------
+    def make_plaintext(self, values, limbs: int, scale: float,
+                       slots: int | None = None) -> Plaintext:
+        """MakeCKKSPackedPlaintext equivalent (NTT+Mont, device)."""
+        slots = slots or self.params.num_slots
+        v = np.asarray(values, dtype=np.float64)
+        key = (hashlib.md5(v.tobytes()).hexdigest(), limbs,
+               float(scale), slots)
+        if key in self._pt_cache:
+            return self._pt_cache[key]
+        coeffs = encoding.encode_real(v, self.n, scale, slots)
+        rows = np.empty((limbs, self.n), dtype=np.uint32)
+        for i in range(limbs):
+            p = self.params.q[i]
+            r = np.fmod(coeffs, float(p))
+            rows[i] = np.where(r < 0, r + p, r).astype(np.uint32)
+        T = self.tables(limbs)
+        dev = jnp.asarray(rows)
+        # to Montgomery then NTT, on device
+        rmod = np.array([(1 << 32) % self.params.q[i] for i in range(limbs)],
+                        dtype=np.uint32)
+        rsh = np.array([(int(r) << 32) // self.params.q[i]
+                        for i, r in enumerate(rmod)], dtype=np.uint32)
+        dev = shoup_mul(dev, jnp.asarray(rmod).reshape(-1, 1),
+                        jnp.asarray(rsh).reshape(-1, 1),
+                        T.q_p.reshape(-1, 1))
+        dev = ntt_fwd_t(dev, T.q_p, T.q_psi, T.q_psi_sh)
+        pt = Plaintext(dev, float(scale), slots)
+        self._pt_cache[key] = pt
+        return pt
+
+    def _scalar_limb_consts(self, m: int, limbs: int):
+        """Integer scalar (possibly negative) as per-limb plain constants."""
+        ws = []
+        shs = []
+        for i in range(limbs):
+            p = self.params.q[i]
+            w = m % p
+            ws.append(w)
+            shs.append((w << 32) // p)
+        return (jnp.asarray(np.array(ws, dtype=np.uint32)),
+                jnp.asarray(np.array(shs, dtype=np.uint32)))
+
+    # ---------------- rescale / level management ----------------
+    def rescale(self, ct: Ciphertext) -> Ciphertext:
+        assert ct.limbs > BASE_LIMBS, "cannot rescale below base limbs"
+        T = self.tables(ct.limbs)
+        data = _k_rescale(ct.data, T)
+        return Ciphertext(data, ct.scale / float(self.params.q[ct.limbs - 1]),
+                          1, ct.slots)
+
+    def level_reduce(self, ct: Ciphertext, target_limbs: int) -> Ciphertext:
+        assert target_limbs <= ct.limbs
+        if target_limbs == ct.limbs:
+            return ct
+        return replace(ct, data=ct.data[:, :target_limbs, :])
+
+    def _ensure_deg1(self, ct: Ciphertext) -> Ciphertext:
+        return self.rescale(ct) if ct.noise_deg == 2 else ct
+
+    def adjust_to(self, ct: Ciphertext, target_limbs: int,
+                  target_scale: float) -> Ciphertext:
+        """Bring ct to (target_limbs, ~target_scale) exactly: drop limbs,
+        then integer-scalar multiply + one rescale to land on the scale."""
+        ct = self._ensure_deg1(ct)
+        if ct.limbs == target_limbs:
+            if abs(ct.scale / target_scale - 1) < SCALE_TOL:
+                return ct
+            assert ct.limbs > BASE_LIMBS, "scale mismatch at base level"
+        ct = self.level_reduce(ct, min(ct.limbs, target_limbs + 1))
+        qd = float(self.params.q[ct.limbs - 1])
+        m = int(round(target_scale * qd / ct.scale))
+        w, wsh = self._scalar_limb_consts(m, ct.limbs)
+        T = self.tables(ct.limbs)
+        data = _k_const_mul(ct.data, w, wsh, T.q_p)
+        ct = Ciphertext(data, ct.scale * m, 1, ct.slots)
+        return self.rescale(ct)
+
+    def _match_add(self, a: Ciphertext, b: Ciphertext):
+        """Equalize (limbs, scale) of two cts for addition."""
+        if a.limbs > b.limbs:
+            a = self.adjust_to(a, b.limbs, b.scale)
+        elif b.limbs > a.limbs:
+            b = self.adjust_to(b, a.limbs, a.scale)
+        if abs(a.scale / b.scale - 1) > SCALE_TOL:
+            if a.noise_deg == 1 and b.noise_deg == 2:
+                a = self._raise_deg(a, b.scale)
+            elif a.noise_deg == 2 and b.noise_deg == 1:
+                b = self._raise_deg(b, a.scale)
+            else:
+                # same degree but mismatched: adjust via one level
+                a = self.adjust_to(a, a.limbs - 1,
+                                   self.canonical_scale(a.limbs - 1))
+                b = self.adjust_to(b, b.limbs - 1,
+                                   self.canonical_scale(b.limbs - 1))
+        assert abs(a.scale / b.scale - 1) < SCALE_TOL, (a.scale, b.scale)
+        return a, b
+
+    def _raise_deg(self, ct: Ciphertext, target_scale: float) -> Ciphertext:
+        """Multiply deg-1 ct by integer ~ target_scale/scale (no rescale)."""
+        m = int(round(target_scale / ct.scale))
+        assert m >= 1
+        w, wsh = self._scalar_limb_consts(m, ct.limbs)
+        T = self.tables(ct.limbs)
+        data = _k_const_mul(ct.data, w, wsh, T.q_p)
+        return Ciphertext(data, ct.scale * m, 2, ct.slots)
+
+    def _match_components(self, a: Ciphertext, b: Ciphertext):
+        """Pad component counts (deg-2 + deg-1 adds)."""
+        if a.k == b.k:
+            return a, b
+        if a.k < b.k:
+            a = replace(a, data=jnp.concatenate(
+                [a.data, jnp.zeros((b.k - a.k,) + a.data.shape[1:],
+                                   dtype=a.data.dtype)], axis=0))
+        else:
+            b = replace(b, data=jnp.concatenate(
+                [b.data, jnp.zeros((a.k - b.k,) + b.data.shape[1:],
+                                   dtype=b.data.dtype)], axis=0))
+        return a, b
+
+    # ---------------- arithmetic: add/sub ----------------
+    def add(self, a: Ciphertext, b) -> Ciphertext:
+        if isinstance(b, Ciphertext):
+            a, b = self._match_add(a, b)
+            a, b = self._match_components(a, b)
+            T = self.tables(a.limbs)
+            data = _k_add(a.data, b.data, T.q_p.reshape(1, -1, 1))
+            return Ciphertext(data, a.scale, max(a.noise_deg, b.noise_deg),
+                              a.slots)
+        if isinstance(b, Plaintext):
+            return self._add_pt(a, b, sub=False)
+        return self._add_scalar(a, float(b), sub=False)
+
+    def sub(self, a: Ciphertext, b) -> Ciphertext:
+        if isinstance(b, Ciphertext):
+            a, b = self._match_add(a, b)
+            a, b = self._match_components(a, b)
+            T = self.tables(a.limbs)
+            data = _k_sub(a.data, b.data, T.q_p.reshape(1, -1, 1))
+            return Ciphertext(data, a.scale, max(a.noise_deg, b.noise_deg),
+                              a.slots)
+        if isinstance(b, Plaintext):
+            return self._add_pt(a, b, sub=True)
+        return self._add_scalar(a, float(b), sub=True)
+
+    def rsub(self, b, a: Ciphertext) -> Ciphertext:
+        """scalar/pt minus ct."""
+        return self.negate(self.sub(a, b))
+
+    def negate(self, a: Ciphertext) -> Ciphertext:
+        T = self.tables(a.limbs)
+        p = T.q_p.reshape(1, -1, 1)
+        return replace(a, data=jnp.where(a.data == 0, a.data, p - a.data))
+
+    def _add_pt(self, a: Ciphertext, pt: Plaintext, sub: bool) -> Ciphertext:
+        assert pt.limbs >= a.limbs, "plaintext too short"
+        assert abs(pt.scale / a.scale - 1) < SCALE_TOL, (pt.scale, a.scale)
+        T = self.tables(a.limbs)
+        p = T.q_p.reshape(1, -1, 1)
+        ptd = pt.data[: a.limbs][None]
+        c0 = sub_mod(a.data[0:1], ptd, p) if sub else add_mod(
+            a.data[0:1], ptd, p)
+        return replace(a, data=jnp.concatenate([c0, a.data[1:]], axis=0))
+
+    def _add_scalar(self, a: Ciphertext, c: float, sub: bool) -> Ciphertext:
+        """Add/sub a real constant: encode at exact scale on the constant
+        coefficient (slot-constant = coefficient-0 constant)."""
+        m = int(round(c * a.scale))
+        if sub:
+            m = -m
+        ws = np.array([m % self.params.q[i] for i in range(a.limbs)],
+                      dtype=np.uint32)
+        # constant poly: value m at coeff 0 -> NTT is constant m across slots
+        # (Montgomery form needed)
+        wm = np.array([int(w) * ((1 << 32) % self.params.q[i])
+                       % self.params.q[i]
+                       for i, w in enumerate(ws)], dtype=np.uint32)
+        T = self.tables(a.limbs)
+        p = T.q_p.reshape(1, -1, 1)
+        c0 = add_mod(a.data[0:1], jnp.asarray(wm).reshape(1, -1, 1), p)
+        return replace(a, data=jnp.concatenate([c0, a.data[1:]], axis=0))
+
+    # ---------------- arithmetic: mult ----------------
+    def mult(self, a: Ciphertext, b) -> Ciphertext:
+        """EvalMult (auto-relinearized for ct-ct, lazy rescale semantics)."""
+        if isinstance(b, Ciphertext):
+            return self._mult_ct(a, b)
+        if isinstance(b, Plaintext):
+            return self._mult_pt(a, b)
+        return self.mult_scalar(a, float(b))
+
+    def _prep_mult(self, a: Ciphertext, b: Ciphertext):
+        a = self._ensure_deg1(a)
+        b = self._ensure_deg1(b)
+        if a.limbs > b.limbs:
+            a = self.adjust_to(a, b.limbs, self.canonical_scale(b.limbs)) \
+                if abs(a.scale / b.scale - 1) > SCALE_TOL else \
+                self.level_reduce(a, b.limbs)
+        elif b.limbs > a.limbs:
+            b = self.adjust_to(b, a.limbs, self.canonical_scale(a.limbs)) \
+                if abs(b.scale / a.scale - 1) > SCALE_TOL else \
+                self.level_reduce(b, a.limbs)
+        return a, b
+
+    def _mult_ct(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        a, b = self._prep_mult(a, b)
+        assert a.k == 2 and b.k == 2, "relinearize before multiplying"
+        T = self.tables(a.limbs)
+        d = _k_mult3(a.data, b.data, T.q_p, T.q_npi)
+        ct = Ciphertext(d, a.scale * b.scale, 2, a.slots)
+        self.mult_count += 1
+        return self.relinearize(ct)
+
+    def square(self, a: Ciphertext) -> Ciphertext:
+        a = self._ensure_deg1(a)
+        T = self.tables(a.limbs)
+        d = _k_square3(a.data, T.q_p, T.q_npi)
+        ct = Ciphertext(d, a.scale * a.scale, 2, a.slots)
+        self.mult_count += 1
+        return self.relinearize(ct)
+
+    def _mult_pt(self, a: Ciphertext, pt: Plaintext) -> Ciphertext:
+        a = self._ensure_deg1(a)
+        assert pt.limbs >= a.limbs
+        T = self.tables(a.limbs)
+        d = _k_pt_mul(a.data, pt.data[: a.limbs], T.q_p, T.q_npi)
+        return Ciphertext(d, a.scale * pt.scale, 2, a.slots)
+
+    def mult_scalar(self, a: Ciphertext, c: float) -> Ciphertext:
+        """EvalMult(ct, double): scalar at fresh Delta (depth 1)."""
+        a = self._ensure_deg1(a)
+        m = int(round(c * self.delta))
+        w, wsh = self._scalar_limb_consts(m, a.limbs)
+        T = self.tables(a.limbs)
+        data = _k_const_mul(a.data, w, wsh, T.q_p)
+        return Ciphertext(data, a.scale * self.delta, 2, a.slots)
+
+    # ---------------- relinearization ----------------
+    def relinearize(self, ct: Ciphertext) -> Ciphertext:
+        if ct.k == 2:
+            return ct
+        l = ct.limbs
+        T = self.tables(l)
+        exts = _k_decompose(ct.data[2], T)
+        ksk = self._key_rows(self.relin_key, l, T.ndig)
+        acc = _k_ks_inner(exts, ksk, T)
+        d = _k_moddown(acc, T)
+        p = T.q_p.reshape(1, -1, 1)
+        out = add_mod(ct.data[:2], d, p)
+        return replace(ct, data=out)
+
+    def _key_rows(self, ksk, l: int, ndig: int):
+        nq = self.params.nq
+        ksp = self.params.num_special
+        rows = np.concatenate([np.arange(l), np.arange(nq, nq + ksp)])
+        return ksk[:ndig][:, :, rows, :]
+
+    # ---------------- rotations ----------------
+    def rotate(self, ct: Ciphertext, k: int) -> Ciphertext:
+        """EvalRotate: left rotation by k slots (key must exist)."""
+        half = self.n // 2
+        kk = k % half
+        if kk == 0 or k % ct.slots == 0:
+            return ct
+        precomp = self.fast_rotation_precompute(ct)
+        return self.fast_rotation(ct, k, precomp)
+
+    def fast_rotation_precompute(self, ct: Ciphertext):
+        """Hoisted decomposition of c1 (EvalFastRotationPrecompute)."""
+        T = self.tables(ct.limbs)
+        return _k_decompose(ct.data[1], T)
+
+    def fast_rotation(self, ct: Ciphertext, k: int, precomp) -> Ciphertext:
+        half = self.n // 2
+        kk = k % half
+        if kk == 0 or k % ct.slots == 0:
+            return ct
+        assert kk in self.rot_keys, f"missing rotation key {k}"
+        l = ct.limbs
+        T = self.tables(l)
+        perm = self._perm(kk)
+        exts = _k_automorph(precomp, perm)
+        ksk = self._key_rows(self.rot_keys[kk], l, T.ndig)
+        acc = _k_ks_inner(exts, ksk, T)
+        d = _k_moddown(acc, T)
+        p = T.q_p.reshape(1, -1, 1)
+        c0 = add_mod(_k_automorph(ct.data[0:1], perm), d[0:1], p)
+        out = jnp.concatenate([c0, d[1:2]], axis=0)
+        self.rot_count += 1
+        return replace(ct, data=out)
+
+    # ---------------- client-side debug ----------------
+    def decrypt_debug(self, ct: Ciphertext, count: int | None = None):
+        v = self.decrypt(ct)
+        return v[: (count or ct.slots)]

@@ -117,6 +117,30 @@ def find_ntt_primes(bits: int, count: int, ring_dim: int,
     return out
 
 
+def nearest_ntt_prime(target: float, ring_dim: int,
+                      avoid: set[int]) -> int:
+    """NTT-friendly prime (≡ 1 mod 2*ring_dim, < 2^31) nearest to `target`.
+
+    Used to build the rescaling chain FLEXIBLEAUTO-style: each level's prime
+    is chosen nearest S_l^2 / Delta so the canonical per-level scaling
+    factors stay anchored at Delta instead of drifting geometrically.
+    """
+    m = 2 * ring_dim
+    k0 = max(1, int(round(target / m)))
+    for d in range(0, 1 << 22):
+        for k in ((k0 + d, k0 - d) if d else (k0,)):
+            if k < 1:
+                continue
+            p = k * m + 1
+            if p >= (1 << 31) or p < (1 << 20):
+                continue
+            if p in avoid:
+                continue
+            if is_prime(p):
+                return p
+    raise RuntimeError(f"no NTT prime near {target}")
+
+
 def bit_reverse_indices(n: int) -> np.ndarray:
     bits = n.bit_length() - 1
     idx = np.arange(n, dtype=np.int64)

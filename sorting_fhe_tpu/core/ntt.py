@@ -65,23 +65,15 @@ def _bcast(w, extra_dims):
     return w.reshape(w.shape + (1,) * extra_dims)
 
 
-def ntt_fwd(a: jnp.ndarray, ctx: NttContext, limb_idx=None) -> jnp.ndarray:
-    """Forward negacyclic NTT.
+def ntt_fwd_t(a: jnp.ndarray, p, psi, psi_sh) -> jnp.ndarray:
+    """Forward negacyclic NTT with explicit tables (jit-friendly args).
 
-    a: uint32 [..., L, n] (coefficient domain, natural order).
-    limb_idx: optional numpy index array selecting which table rows the L
-        axis of `a` corresponds to (default: first L rows).
-    Returns [..., L, n] in the transform domain (bit-reversed order).
+    a: uint32 [..., L, n]; p: [L]; psi/psi_sh: [L, n].
     """
-    n = ctx.n
-    L = a.shape[-2]
-    sel = slice(0, L) if limb_idx is None else np.asarray(limb_idx)
-    p = ctx.p[sel]
-    psi = ctx.psi[sel]
-    psi_sh = ctx.psi_sh[sel]
+    L, n = a.shape[-2], a.shape[-1]
     lead = a.shape[:-2]
     pb = p.reshape((L, 1, 1))
-    for s in range(ctx.logn):
+    for s in range(n.bit_length() - 1):
         m = 1 << s
         t = n >> (s + 1)
         a = a.reshape(lead + (L, m, 2, t))
@@ -93,17 +85,12 @@ def ntt_fwd(a: jnp.ndarray, ctx: NttContext, limb_idx=None) -> jnp.ndarray:
     return a.reshape(lead + (L, n))
 
 
-def ntt_inv(a: jnp.ndarray, ctx: NttContext, limb_idx=None) -> jnp.ndarray:
-    """Inverse negacyclic NTT: [..., L, n] transform domain -> coefficients."""
-    n = ctx.n
-    L = a.shape[-2]
-    sel = slice(0, L) if limb_idx is None else np.asarray(limb_idx)
-    p = ctx.p[sel]
-    ipsi = ctx.ipsi[sel]
-    ipsi_sh = ctx.ipsi_sh[sel]
+def ntt_inv_t(a: jnp.ndarray, p, ipsi, ipsi_sh, n_inv, n_inv_sh) -> jnp.ndarray:
+    """Inverse negacyclic NTT with explicit tables."""
+    L, n = a.shape[-2], a.shape[-1]
     lead = a.shape[:-2]
     pb = p.reshape((L, 1, 1))
-    for s in range(ctx.logn):
+    for s in range(n.bit_length() - 1):
         h = n >> (s + 1)          # number of twiddle groups this stage
         t = n // (2 * h)          # butterfly width
         a = a.reshape(lead + (L, h, 2, t))
@@ -116,8 +103,28 @@ def ntt_inv(a: jnp.ndarray, ctx: NttContext, limb_idx=None) -> jnp.ndarray:
         a = jnp.stack([lo, hi], axis=-2)
     a = a.reshape(lead + (L, n))
     p2 = p.reshape((L, 1))
-    return shoup_mul(a, ctx.n_inv[sel].reshape((L, 1)),
-                     ctx.n_inv_sh[sel].reshape((L, 1)), p2)
+    return shoup_mul(a, n_inv.reshape((L, 1)), n_inv_sh.reshape((L, 1)), p2)
+
+
+def ntt_fwd(a: jnp.ndarray, ctx: NttContext, limb_idx=None) -> jnp.ndarray:
+    """Forward negacyclic NTT.
+
+    a: uint32 [..., L, n] (coefficient domain, natural order).
+    limb_idx: optional numpy index array selecting which table rows the L
+        axis of `a` corresponds to (default: first L rows).
+    Returns [..., L, n] in the transform domain (bit-reversed order).
+    """
+    L = a.shape[-2]
+    sel = slice(0, L) if limb_idx is None else np.asarray(limb_idx)
+    return ntt_fwd_t(a, ctx.p[sel], ctx.psi[sel], ctx.psi_sh[sel])
+
+
+def ntt_inv(a: jnp.ndarray, ctx: NttContext, limb_idx=None) -> jnp.ndarray:
+    """Inverse negacyclic NTT: [..., L, n] transform domain -> coefficients."""
+    L = a.shape[-2]
+    sel = slice(0, L) if limb_idx is None else np.asarray(limb_idx)
+    return ntt_inv_t(a, ctx.p[sel], ctx.ipsi[sel], ctx.ipsi_sh[sel],
+                     ctx.n_inv[sel], ctx.n_inv_sh[sel])
 
 
 def negacyclic_convolve_reference(a: np.ndarray, b: np.ndarray, p: int) -> np.ndarray:

@@ -33,13 +33,20 @@ class CkksConfig:
     """User-facing knobs, analogous to CCParams<CryptoContextCKKSRNS>."""
     ring_dim: int = 1 << 13
     mult_depth: int = 10
-    scale_bits: int = 28          # rescaling prime size (~ scaling factor)
-    first_mod_bits: int = 30      # q_0 size (decryption headroom)
+    scale_bits: int = 29          # rescaling prime size (~ scaling factor)
+    base_mod_bits: int = 30       # size of EACH of the two base primes;
+    # the decryption floor is their ~60-bit product (the uint32 analogue of
+    # OpenFHE's FirstModSize 60, split across two limbs).
     dnum: int = 3                 # hybrid key-switch digit count
-    num_special_primes: int | None = None  # default: ceil((L+1)/dnum)
+    num_special_primes: int | None = None  # default: ceil(nq/dnum)
     seed: int = 2024
     sigma: float = 3.19           # error stddev
     batch_size: int | None = None  # default n/2 slots
+
+
+# rescaling never drops below this many limbs: the two base primes form the
+# composite "first modulus" that holds value*scale at decryption time.
+BASE_LIMBS = 2
 
 
 class CkksParams:
@@ -53,12 +60,24 @@ class CkksParams:
         L = cfg.mult_depth          # number of rescaling primes
         self.L = L
 
-        # prime chain: q0 (first_mod_bits), then L primes at scale_bits
-        q0 = nt.find_ntt_primes(cfg.first_mod_bits, 1, n)
-        qs = nt.find_ntt_primes(cfg.scale_bits, L, n, avoid=tuple(q0))
-        self.q: list[int] = q0 + qs          # level i uses q[0..i]
+        # prime chain: two base primes, then L rescaling primes chosen
+        # adaptively (nearest S^2/Delta walking down from the top) so the
+        # canonical scale stays anchored at Delta — without this, scale
+        # deviation doubles every level and plaintext adds break.
+        base = nt.find_ntt_primes(cfg.base_mod_bits, BASE_LIMBS, n)
+        delta = float(2 ** cfg.scale_bits)
+        avoid = set(base)
+        qs_rev = []  # built top-down: first entry is q[nq-1]
+        S = delta
+        for _ in range(L):
+            p = nt.nearest_ntt_prime(S * S / delta, n, avoid)
+            avoid.add(p)
+            qs_rev.append(p)
+            S = S * S / p
+        self.q: list[int] = base + qs_rev[::-1]
+        self.nq = len(self.q)
 
-        alpha = -(-(L + 1) // cfg.dnum)      # limbs per digit
+        alpha = -(-self.nq // cfg.dnum)      # limbs per digit
         k = cfg.num_special_primes or alpha
         self.alpha = alpha
         self.num_special = k
@@ -86,20 +105,22 @@ class CkksParams:
         self.P_mod_q = [P % q for q in self.q]
         self.P_inv_mod_q = [nt.mod_inverse(P % q, q) for q in self.q]
 
-        # canonical scaling factors per level (FLEXIBLEAUTO-style):
-        # fresh ciphertexts live at level L with scale ~2^scale_bits; a
-        # rescale at level l divides by q_l.  scale_at[l] = canonical scale
-        # of a ciphertext whose next rescale will consume q_l.
-        self.scale0 = float(self.q[L])  # fresh scale = last rescaling prime
-        # Note: evaluator tracks exact scales; this is just the fresh anchor.
+        # canonical scaling factors per limb count (FLEXIBLEAUTO-style):
+        # fresh ciphertexts live at nq limbs with scale 2^scale_bits; a
+        # rescale at limb count l drops q[l-1] and the canonical scale of
+        # the next level down is S[l-1] = S[l]^2 / q[l-1].
+        S = {self.nq: float(2 ** cfg.scale_bits)}
+        for limbs in range(self.nq, BASE_LIMBS, -1):
+            S[limbs - 1] = S[limbs] * S[limbs] / float(self.q[limbs - 1])
+        self.canonical_scale = S
 
         self.Q_int = functools.reduce(lambda a, b: a * b, self.q, 1)
 
     # ---- host-side helpers ----
-    def q_products(self, level: int) -> int:
-        """Product of q_0..q_level."""
+    def q_product(self, num_limbs: int) -> int:
+        """Product of the first num_limbs q primes."""
         out = 1
-        for i in range(level + 1):
+        for i in range(num_limbs):
             out *= self.q[i]
         return out
 
