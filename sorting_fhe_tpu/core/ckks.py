@@ -75,7 +75,11 @@ def _shoup_host(w: int, p: int) -> tuple[int, int]:
 
 
 class _LevelTables:
-    """Per-limb-count device constants for rescale / keyswitch / moddown."""
+    """Per-limb-count device constants for rescale / keyswitch / moddown.
+
+    Registered as a JAX pytree (arrays = leaves, digit structure = static
+    aux data) so whole-op kernels can be jitted with one compile per limb
+    count."""
 
     def __init__(self, P: CkksParams, l: int):
         q = P.q
@@ -85,6 +89,8 @@ class _LevelTables:
         sp = P.p_special
         ntt = P.ntt
         self.l = l
+        self.nq = nq
+        self.ksp = ksp
 
         # --- NTT table slices ---
         self.q_p = ntt.p[:l]
@@ -189,6 +195,40 @@ class _LevelTables:
         # approximate-extension magnitude correction is omitted (HPS-style
         # approximate conversion; error < ksp per coefficient, absorbed by
         # CKKS noise) — same design as OpenFHE ApproxSwitchCRTBasis.
+
+    # ---- pytree protocol: arrays traced, structure static ----
+    _STATIC = ("l", "ndig", "digits", "ext_primes", "nq", "ksp")
+
+    def tree_flatten(self):
+        keys = tuple(sorted(k for k in self.__dict__ if k not in self._STATIC))
+        children = [self.__dict__[k] for k in keys]
+        aux = (keys, tuple((k, _freeze(self.__dict__[k]))
+                           for k in self._STATIC if k in self.__dict__))
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        keys, static = aux
+        for k, v in static:
+            obj.__dict__[k] = _unfreeze(v)
+        for k, v in zip(keys, children):
+            obj.__dict__[k] = v
+        return obj
+
+
+def _freeze(v):
+    return tuple(_freeze(x) for x in v) if isinstance(v, list) else v
+
+
+def _unfreeze(v):
+    return [_unfreeze(x) for x in v] if isinstance(v, tuple) else v
+
+
+jax.tree_util.register_pytree_node(
+    _LevelTables,
+    lambda t: t.tree_flatten(),
+    _LevelTables.tree_unflatten)
 
 
 # ===================== device kernels (pure functions) =====================
@@ -322,6 +362,74 @@ def _k_automorph(data, perm):
     return data[..., perm]
 
 
+# ============ jitted super-kernels: one compile per limb count ============
+
+
+def _sel_rows(ksk, T: _LevelTables):
+    rows = np.concatenate([np.arange(T.l), np.arange(T.nq, T.nq + T.ksp)])
+    return ksk[: T.ndig][:, :, rows, :]
+
+
+@jax.jit
+def _kj_rescale(data, T):
+    return _k_rescale(data, T)
+
+
+@jax.jit
+def _kj_mult_relin(a, b, ksk, T):
+    d = _k_mult3(a, b, T.q_p, T.q_npi)
+    exts = _k_decompose(d[2], T)
+    acc = _k_ks_inner(exts, _sel_rows(ksk, T), T)
+    dd = _k_moddown(acc, T)
+    p = T.q_p.reshape(1, -1, 1)
+    return add_mod(d[:2], dd, p)
+
+
+@jax.jit
+def _kj_square_relin(a, ksk, T):
+    d = _k_square3(a, T.q_p, T.q_npi)
+    exts = _k_decompose(d[2], T)
+    acc = _k_ks_inner(exts, _sel_rows(ksk, T), T)
+    dd = _k_moddown(acc, T)
+    p = T.q_p.reshape(1, -1, 1)
+    return add_mod(d[:2], dd, p)
+
+
+@jax.jit
+def _kj_relin3(data, ksk, T):
+    exts = _k_decompose(data[2], T)
+    acc = _k_ks_inner(exts, _sel_rows(ksk, T), T)
+    dd = _k_moddown(acc, T)
+    p = T.q_p.reshape(1, -1, 1)
+    return add_mod(data[:2], dd, p)
+
+
+@jax.jit
+def _kj_decompose(c1, T):
+    return _k_decompose(c1, T)
+
+
+@jax.jit
+def _kj_fast_rotate(data, precomp, ksk, perm, T):
+    exts = _k_automorph(precomp, perm)
+    acc = _k_ks_inner(exts, _sel_rows(ksk, T), T)
+    d = _k_moddown(acc, T)
+    p = T.q_p.reshape(1, -1, 1)
+    c0 = add_mod(_k_automorph(data[0:1], perm), d[0:1], p)
+    return jnp.concatenate([c0, d[1:2]], axis=0)
+
+
+_kj_add = jax.jit(_k_add)
+_kj_sub = jax.jit(_k_sub)
+_kj_pt_mul = jax.jit(_k_pt_mul)
+_kj_const_mul = jax.jit(_k_const_mul)
+
+
+@jax.jit
+def _kj_negate(data, p):
+    return jnp.where(data == 0, data, p - data)
+
+
 # ===================== context =====================
 
 
@@ -386,7 +494,13 @@ class CkksContext:
         return Ciphertext(jnp.asarray(data), self.delta, 1, slots)
 
     def decrypt(self, ct: Ciphertext) -> np.ndarray:
-        need = 3 if (ct.noise_deg == 2 or ct.scale > 2 ** 40) else 2
+        # enough limbs that prod(q) > value * scale * 2^20 headroom
+        bits_needed = np.log2(max(ct.scale, 1.0)) + 24
+        need = 0
+        acc = 0.0
+        while acc < bits_needed and need < ct.limbs:
+            acc += np.log2(float(self.params.q[need]))
+            need += 1
         data = np.asarray(ct.data)
         coeffs = self.decryptor.decrypt_to_coeffs(
             data, ct.limbs, max_limbs=min(ct.limbs, need))
@@ -447,11 +561,15 @@ class CkksContext:
 
     # ---------------- rescale / level management ----------------
     def rescale(self, ct: Ciphertext) -> Ciphertext:
-        assert ct.limbs > BASE_LIMBS, "cannot rescale below base limbs"
-        T = self.tables(ct.limbs)
-        data = _k_rescale(ct.data, T)
-        return Ciphertext(data, ct.scale / float(self.params.q[ct.limbs - 1]),
-                          1, ct.slots)
+        """Composite rescale: drop `comp` primes (one level)."""
+        for _ in range(self.params.comp):
+            assert ct.limbs > self.params.base_limbs, \
+                "cannot rescale below base limbs"
+            T = self.tables(ct.limbs)
+            dropped = float(self.params.q[ct.limbs - 1])
+            data = _kj_rescale(ct.data, T)
+            ct = Ciphertext(data, ct.scale / dropped, 1, ct.slots)
+        return ct
 
     def level_reduce(self, ct: Ciphertext, target_limbs: int) -> Ciphertext:
         assert target_limbs <= ct.limbs
@@ -468,15 +586,23 @@ class CkksContext:
         then integer-scalar multiply + one rescale to land on the scale."""
         ct = self._ensure_deg1(ct)
         if ct.limbs == target_limbs:
-            if abs(ct.scale / target_scale - 1) < SCALE_TOL:
+            ratio = target_scale / ct.scale
+            if abs(ratio - 1) < SCALE_TOL:
                 return ct
-            assert ct.limbs > BASE_LIMBS, "scale mismatch at base level"
-        ct = self.level_reduce(ct, min(ct.limbs, target_limbs + 1))
-        qd = float(self.params.q[ct.limbs - 1])
+            if ratio > 1.5:
+                # target is a deg-2 scale: integer raise, no level burned
+                return self._raise_deg(ct, target_scale)
+            assert ct.limbs > self.params.base_limbs, \
+                "scale mismatch at base level"
+        comp = self.params.comp
+        ct = self.level_reduce(ct, min(ct.limbs, target_limbs + comp))
+        qd = 1.0
+        for i in range(ct.limbs - comp, ct.limbs):
+            qd *= float(self.params.q[i])
         m = int(round(target_scale * qd / ct.scale))
         w, wsh = self._scalar_limb_consts(m, ct.limbs)
         T = self.tables(ct.limbs)
-        data = _k_const_mul(ct.data, w, wsh, T.q_p)
+        data = _kj_const_mul(ct.data, w, wsh, T.q_p)
         ct = Ciphertext(data, ct.scale * m, 1, ct.slots)
         return self.rescale(ct)
 
@@ -493,10 +619,11 @@ class CkksContext:
                 b = self._raise_deg(b, a.scale)
             else:
                 # same degree but mismatched: adjust via one level
-                a = self.adjust_to(a, a.limbs - 1,
-                                   self.canonical_scale(a.limbs - 1))
-                b = self.adjust_to(b, b.limbs - 1,
-                                   self.canonical_scale(b.limbs - 1))
+                comp = self.params.comp
+                a = self.adjust_to(a, a.limbs - comp,
+                                   self.canonical_scale(a.limbs - comp))
+                b = self.adjust_to(b, b.limbs - comp,
+                                   self.canonical_scale(b.limbs - comp))
         assert abs(a.scale / b.scale - 1) < SCALE_TOL, (a.scale, b.scale)
         return a, b
 
@@ -506,7 +633,7 @@ class CkksContext:
         assert m >= 1
         w, wsh = self._scalar_limb_consts(m, ct.limbs)
         T = self.tables(ct.limbs)
-        data = _k_const_mul(ct.data, w, wsh, T.q_p)
+        data = _kj_const_mul(ct.data, w, wsh, T.q_p)
         return Ciphertext(data, ct.scale * m, 2, ct.slots)
 
     def _match_components(self, a: Ciphertext, b: Ciphertext):
@@ -529,7 +656,7 @@ class CkksContext:
             a, b = self._match_add(a, b)
             a, b = self._match_components(a, b)
             T = self.tables(a.limbs)
-            data = _k_add(a.data, b.data, T.q_p.reshape(1, -1, 1))
+            data = _kj_add(a.data, b.data, T.q_p.reshape(1, -1, 1))
             return Ciphertext(data, a.scale, max(a.noise_deg, b.noise_deg),
                               a.slots)
         if isinstance(b, Plaintext):
@@ -541,7 +668,7 @@ class CkksContext:
             a, b = self._match_add(a, b)
             a, b = self._match_components(a, b)
             T = self.tables(a.limbs)
-            data = _k_sub(a.data, b.data, T.q_p.reshape(1, -1, 1))
+            data = _kj_sub(a.data, b.data, T.q_p.reshape(1, -1, 1))
             return Ciphertext(data, a.scale, max(a.noise_deg, b.noise_deg),
                               a.slots)
         if isinstance(b, Plaintext):
@@ -555,7 +682,7 @@ class CkksContext:
     def negate(self, a: Ciphertext) -> Ciphertext:
         T = self.tables(a.limbs)
         p = T.q_p.reshape(1, -1, 1)
-        return replace(a, data=jnp.where(a.data == 0, a.data, p - a.data))
+        return replace(a, data=_kj_negate(a.data, p))
 
     def _add_pt(self, a: Ciphertext, pt: Plaintext, sub: bool) -> Ciphertext:
         assert pt.limbs >= a.limbs, "plaintext too short"
@@ -611,24 +738,22 @@ class CkksContext:
         a, b = self._prep_mult(a, b)
         assert a.k == 2 and b.k == 2, "relinearize before multiplying"
         T = self.tables(a.limbs)
-        d = _k_mult3(a.data, b.data, T.q_p, T.q_npi)
-        ct = Ciphertext(d, a.scale * b.scale, 2, a.slots)
+        d = _kj_mult_relin(a.data, b.data, self.relin_key, T)
         self.mult_count += 1
-        return self.relinearize(ct)
+        return Ciphertext(d, a.scale * b.scale, 2, a.slots)
 
     def square(self, a: Ciphertext) -> Ciphertext:
         a = self._ensure_deg1(a)
         T = self.tables(a.limbs)
-        d = _k_square3(a.data, T.q_p, T.q_npi)
-        ct = Ciphertext(d, a.scale * a.scale, 2, a.slots)
+        d = _kj_square_relin(a.data, self.relin_key, T)
         self.mult_count += 1
-        return self.relinearize(ct)
+        return Ciphertext(d, a.scale * a.scale, 2, a.slots)
 
     def _mult_pt(self, a: Ciphertext, pt: Plaintext) -> Ciphertext:
         a = self._ensure_deg1(a)
         assert pt.limbs >= a.limbs
         T = self.tables(a.limbs)
-        d = _k_pt_mul(a.data, pt.data[: a.limbs], T.q_p, T.q_npi)
+        d = _kj_pt_mul(a.data, pt.data[: a.limbs], T.q_p, T.q_npi)
         return Ciphertext(d, a.scale * pt.scale, 2, a.slots)
 
     def mult_scalar(self, a: Ciphertext, c: float) -> Ciphertext:
@@ -637,21 +762,15 @@ class CkksContext:
         m = int(round(c * self.delta))
         w, wsh = self._scalar_limb_consts(m, a.limbs)
         T = self.tables(a.limbs)
-        data = _k_const_mul(a.data, w, wsh, T.q_p)
+        data = _kj_const_mul(a.data, w, wsh, T.q_p)
         return Ciphertext(data, a.scale * self.delta, 2, a.slots)
 
     # ---------------- relinearization ----------------
     def relinearize(self, ct: Ciphertext) -> Ciphertext:
         if ct.k == 2:
             return ct
-        l = ct.limbs
-        T = self.tables(l)
-        exts = _k_decompose(ct.data[2], T)
-        ksk = self._key_rows(self.relin_key, l, T.ndig)
-        acc = _k_ks_inner(exts, ksk, T)
-        d = _k_moddown(acc, T)
-        p = T.q_p.reshape(1, -1, 1)
-        out = add_mod(ct.data[:2], d, p)
+        T = self.tables(ct.limbs)
+        out = _kj_relin3(ct.data, self.relin_key, T)
         return replace(ct, data=out)
 
     def _key_rows(self, ksk, l: int, ndig: int):
@@ -673,7 +792,7 @@ class CkksContext:
     def fast_rotation_precompute(self, ct: Ciphertext):
         """Hoisted decomposition of c1 (EvalFastRotationPrecompute)."""
         T = self.tables(ct.limbs)
-        return _k_decompose(ct.data[1], T)
+        return _kj_decompose(ct.data[1], T)
 
     def fast_rotation(self, ct: Ciphertext, k: int, precomp) -> Ciphertext:
         half = self.n // 2
@@ -681,16 +800,9 @@ class CkksContext:
         if kk == 0 or k % ct.slots == 0:
             return ct
         assert kk in self.rot_keys, f"missing rotation key {k}"
-        l = ct.limbs
-        T = self.tables(l)
+        T = self.tables(ct.limbs)
         perm = self._perm(kk)
-        exts = _k_automorph(precomp, perm)
-        ksk = self._key_rows(self.rot_keys[kk], l, T.ndig)
-        acc = _k_ks_inner(exts, ksk, T)
-        d = _k_moddown(acc, T)
-        p = T.q_p.reshape(1, -1, 1)
-        c0 = add_mod(_k_automorph(ct.data[0:1], perm), d[0:1], p)
-        out = jnp.concatenate([c0, d[1:2]], axis=0)
+        out = _kj_fast_rotate(ct.data, precomp, self.rot_keys[kk], perm, T)
         self.rot_count += 1
         return replace(ct, data=out)
 

@@ -30,13 +30,19 @@ from .ntt import NttContext
 
 @dataclass(frozen=True)
 class CkksConfig:
-    """User-facing knobs, analogous to CCParams<CryptoContextCKKSRNS>."""
+    """User-facing knobs, analogous to CCParams<CryptoContextCKKSRNS>.
+
+    `scale_bits` is the TOTAL log2 of the scaling factor Delta per
+    multiplicative level; `comp` primes of ~scale_bits/comp bits realise it
+    (composite scaling — the uint32-RNS answer to OpenFHE's 40-60 bit
+    primes: TPU has no 64-bit datapath, so a deep-precision level is a
+    *pair* of ~26-bit primes dropped together at rescale).
+    """
     ring_dim: int = 1 << 13
     mult_depth: int = 10
-    scale_bits: int = 29          # rescaling prime size (~ scaling factor)
-    base_mod_bits: int = 30       # size of EACH of the two base primes;
-    # the decryption floor is their ~60-bit product (the uint32 analogue of
-    # OpenFHE's FirstModSize 60, split across two limbs).
+    scale_bits: int = 29          # total log2(Delta) per level
+    comp: int = 1                 # primes per level (composite degree)
+    base_mod_bits: int = 30       # size of each base ("first modulus") prime
     dnum: int = 3                 # hybrid key-switch digit count
     num_special_primes: int | None = None  # default: ceil(nq/dnum)
     seed: int = 2024
@@ -44,8 +50,7 @@ class CkksConfig:
     batch_size: int | None = None  # default n/2 slots
 
 
-# rescaling never drops below this many limbs: the two base primes form the
-# composite "first modulus" that holds value*scale at decryption time.
+# legacy alias: minimum base limbs (actual value is params.base_limbs)
 BASE_LIMBS = 2
 
 
@@ -60,20 +65,39 @@ class CkksParams:
         L = cfg.mult_depth          # number of rescaling primes
         self.L = L
 
-        # prime chain: two base primes, then L rescaling primes chosen
-        # adaptively (nearest S^2/Delta walking down from the top) so the
-        # canonical scale stays anchored at Delta — without this, scale
-        # deviation doubles every level and plaintext adds break.
-        base = nt.find_ntt_primes(cfg.base_mod_bits, BASE_LIMBS, n)
+        # prime chain: base primes (decryption floor able to hold
+        # max_value * Delta), then L levels of `comp` rescaling primes each,
+        # chosen adaptively (per-level product nearest S^2/Delta walking down
+        # from the top) so the canonical scale stays anchored at Delta —
+        # without this, scale deviation doubles every level and adds break.
+        comp = cfg.comp
+        self.comp = comp
+        self.base_limbs = max(2, -(-(cfg.scale_bits + 20) // cfg.base_mod_bits))
+        base = nt.find_ntt_primes(cfg.base_mod_bits, self.base_limbs, n)
         delta = float(2 ** cfg.scale_bits)
+        sub_bits = cfg.scale_bits / comp
         avoid = set(base)
-        qs_rev = []  # built top-down: first entry is q[nq-1]
+        qs_rev = []  # built top-down: first entries dropped first
         S = delta
         for _ in range(L):
-            p = nt.nearest_ntt_prime(S * S / delta, n, avoid)
-            avoid.add(p)
-            qs_rev.append(p)
-            S = S * S / p
+            target = S * S / delta          # product this level must hit
+            level_primes = []
+            for j in range(comp):
+                if j < comp - 1:
+                    p = nt.nearest_ntt_prime(2.0 ** sub_bits, n, avoid)
+                else:
+                    rem = target
+                    for pp in level_primes:
+                        rem /= pp
+                    p = nt.nearest_ntt_prime(rem, n, avoid)
+                avoid.add(p)
+                level_primes.append(p)
+            prod = 1.0
+            for pp in level_primes:
+                prod *= pp
+            S = S * S / prod
+            # drop order within the level is arbitrary; append in order
+            qs_rev.extend(level_primes)
         self.q: list[int] = base + qs_rev[::-1]
         self.nq = len(self.q)
 
@@ -105,13 +129,18 @@ class CkksParams:
         self.P_mod_q = [P % q for q in self.q]
         self.P_inv_mod_q = [nt.mod_inverse(P % q, q) for q in self.q]
 
-        # canonical scaling factors per limb count (FLEXIBLEAUTO-style):
-        # fresh ciphertexts live at nq limbs with scale 2^scale_bits; a
-        # rescale at limb count l drops q[l-1] and the canonical scale of
-        # the next level down is S[l-1] = S[l]^2 / q[l-1].
-        S = {self.nq: float(2 ** cfg.scale_bits)}
-        for limbs in range(self.nq, BASE_LIMBS, -1):
-            S[limbs - 1] = S[limbs] * S[limbs] / float(self.q[limbs - 1])
+        # canonical scaling factors per level-boundary limb count
+        # (FLEXIBLEAUTO-style): fresh ciphertexts live at nq limbs with
+        # scale Delta; a (composite) rescale drops `comp` primes and the
+        # canonical scale one level down is S' = S^2 / prod(dropped).
+        S = {self.nq: delta}
+        limbs = self.nq
+        while limbs > self.base_limbs:
+            prod = 1.0
+            for i in range(limbs - comp, limbs):
+                prod *= float(self.q[i])
+            S[limbs - comp] = S[limbs] * S[limbs] / prod
+            limbs -= comp
         self.canonical_scale = S
 
         self.Q_int = functools.reduce(lambda a, b: a * b, self.q, 1)
