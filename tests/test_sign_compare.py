@@ -80,8 +80,10 @@ def test_compare(ctx):
 
 def test_indicator(ctx):
     s = ctx.params.num_slots
-    # values away from the +-c boundary by a margin
-    v = RNG.uniform(-1, 1, s)
+    # values away from the +-c boundary by a margin; x +- c must stay inside
+    # [-1, 1] (the composite sign's domain, as in the reference's usage on
+    # 1/N-scaled ranks)
+    v = RNG.uniform(-0.7, 0.7, s)
     c = 0.25
     v = np.where(np.abs(np.abs(v) - c) < 0.07,
                  np.sign(v) * (c + 0.1), v)
