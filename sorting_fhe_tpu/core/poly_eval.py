@@ -43,6 +43,11 @@ def _cheb_long_div(f: np.ndarray, N: int):
     return q, f[:N] if N > 0 else f
 
 
+def _is_ct(x) -> bool:
+    """Duck-typed ciphertext check (works for the plaintext mock too)."""
+    return not isinstance(x, (int, float, np.floating))
+
+
 class _SymEval:
     """Ciphertext-or-scalar algebra so constant subtrees cost nothing."""
 
@@ -50,25 +55,25 @@ class _SymEval:
         self.ctx = ctx
 
     def add(self, a, b):
-        if isinstance(a, Ciphertext):
+        if _is_ct(a):
             return self.ctx.add(a, b)
-        if isinstance(b, Ciphertext):
+        if _is_ct(b):
             return self.ctx.add(b, a)
         return a + b
 
     def sub(self, a, b):
-        if isinstance(a, Ciphertext):
+        if _is_ct(a):
             return self.ctx.sub(a, b)
-        if isinstance(b, Ciphertext):
+        if _is_ct(b):
             return self.ctx.rsub(a, b)
         return a - b
 
     def mul(self, a, b):
-        if isinstance(a, Ciphertext) and isinstance(b, Ciphertext):
+        if _is_ct(a) and _is_ct(b):
             return self.ctx.mult(a, b)
-        if isinstance(a, Ciphertext):
+        if _is_ct(a):
             return self.ctx.mult_scalar(a, float(b))
-        if isinstance(b, Ciphertext):
+        if _is_ct(b):
             return self.ctx.mult_scalar(b, float(a))
         return a * b
 

@@ -1,0 +1,236 @@
+"""DirectSort: SIMD-batched rank construction + sinc-kernel oblivious
+permutation ("rotation index checking").
+
+TPU-native rebuild of /root/reference/src/sort_algo.h:61-774 (the repo's own
+algorithm, eprint 2025/1170):
+
+  constructRank        (sort_algo.h:368-506)  rank_i = sum_s compare(x, rot(x, s))
+      with slot packing: num_partition = min(N, max_batch/N) shifted copies
+      per ciphertext, so only num_batch = N/num_partition sign evaluations.
+  rotationIndexCheckN  (sort_algo.h:658-750)  output_j = sum_r
+      doubled_sinc((j - rank - r)/2N) * x_r  via one Chebyshev series per
+      batch and baby-step/giant-step blind rotations.
+
+The OpenMP parallel-for/critical accumulation patterns of the reference
+become pure-functional accumulation; the SIMD batching maps onto full-width
+TPU ciphertext ops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.ckks import CkksContext, Ciphertext
+from ..core.poly_eval import eval_chebyshev_series_ps
+from ..ops.sign import SignFunc, SignConfig, CompositeSignConfig
+from ..ops.comparison import compare
+from ..ops.rotation import RotationComposer, DecomposeAlgo
+from ..ops.chebyshev import doubled_sinc_coefficients, sinc_coefficients
+
+
+# Rotation-key index lists per N (spec data ported from the reference's
+# parameter tables, sort_algo.h:94-197: baby-step strides + powers of two).
+DIRECT_SORT_ROTATIONS: dict[int, list[int]] = {
+    4: [1, 2, 4, 8, 16],
+    8: [1, 2, 4, 6, 8, 16, 32, 64],
+    16: [1, 2, 3, 4, 8, 12, 16, 32, 64, 128, 256],
+    32: [1, 2, 3, 4, 8, 12, 16, 20, 24, 28, 32, 64, 128, 256, 512, 1024],
+    64: [1, 2, 3, 4, 5, 6, 7, 8, 16, 24, 32, 40, 48, 56, 64, 128, 256, 512,
+         1024, 2048, 4096],
+    128: [1, 2, 3, 4, 5, 6, 7, 8, 16, 24, 32, 40, 48, 56, 64, 72, 80, 88,
+          96, 104, 112, 120, 128, 256, 512, 1024, 2048, 4096, 8192, 16384],
+    256: [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 24, 32,
+          40, 48, 56, 64, 72, 80, 88, 96, 104, 112, 120, 128, 129, 130,
+          131, 132, 133, 134, 135, 144, 160, 176, 192, 208, 224, 240, 256,
+          512, 1024, 2048, 4096, 8192, 16384, 32768],
+}
+
+# baby-step counts (sort_algo.h:382-416 for constructRank;
+# sort_algo.h:670-703 for rotationIndexCheckN)
+_NP_RANK = {4: 2, 8: 2, 16: 4, 32: 4, 64: 8, 128: 8, 256: 16, 512: 16,
+            1024: 32, 2048: 32}
+_NP_CHECK = {4: 2, 8: 2, 16: 4, 32: 4, 64: 8, 128: 8, 256: 16, 512: 8,
+             1024: 8}
+
+# sign-config ladder used by the reference's tests
+# (tests/DirectSortTest.cpp:113-121)
+def default_sign_config(N: int) -> SignConfig:
+    if N <= 16:
+        dg = 2
+    elif N <= 128:
+        dg = 3
+    elif N <= 512:
+        dg = 4
+    else:
+        dg = 5
+    return SignConfig(CompositeSignConfig(3, dg, 2))
+
+
+def _rotate_list(vec: np.ndarray, k: int) -> np.ndarray:
+    """Plaintext vector left-rotate (vectorRotate, sort_algo.h:289-306)."""
+    return np.roll(vec, -k)
+
+
+@dataclass
+class DirectSort:
+    """Template-parameter N becomes a constructor arg; the crypto context
+    plays CryptoContext + keys."""
+    ctx: CkksContext
+    N: int
+    rot_indices: list[int] = field(default_factory=list)
+    sign_func: SignFunc = SignFunc.CompositeSign
+
+    def __post_init__(self):
+        if not self.rot_indices:
+            self.rot_indices = DIRECT_SORT_ROTATIONS[self.N]
+        self.ctx.gen_rotation_keys(self.rot_indices)
+        self.rot = RotationComposer(self.ctx, self.rot_indices, self.N,
+                                    DecomposeAlgo.BINARY)
+        self.max_batch = self.ctx.n // 2
+
+    # ---------------- mask generators (sort_algo.h:203-287) ----------------
+    def _mask(self, num_slots: int, k: int, width: int) -> np.ndarray:
+        v = np.zeros(num_slots)
+        v[k * width:(k + 1) * width] = 1.0
+        return v
+
+    def _index_vector(self) -> np.ndarray:
+        return np.arange(self.N, dtype=np.float64)
+
+    def _checking_vector_n(self, num_slots: int, k: int) -> np.ndarray:
+        """[k,k,..,k, k+1,...] each value N times, wrapping mod N
+        (generateCheckingVectorN, sort_algo.h:272-286)."""
+        reps = num_slots // self.N
+        ks = (k + np.arange(reps)) % self.N
+        return np.repeat(ks.astype(np.float64), self.N)
+
+    def _checking_vector_2n(self, num_slots: int, k: int) -> np.ndarray:
+        """[k]*N + [-N+k]*N pattern (generateCheckingVector2N,
+        sort_algo.h:252-271)."""
+        out = np.empty(num_slots)
+        idx = 0
+        cur = k
+        while idx < num_slots:
+            take = min(self.N, num_slots - idx)
+            out[idx:idx + take] = cur
+            idx += take
+            take = min(self.N, num_slots - idx)
+            out[idx:idx + take] = -self.N + cur
+            idx += take
+            cur = (cur + 1) % self.N
+        return out
+
+    def _pt(self, vec: np.ndarray, ct: Ciphertext, num_slots: int):
+        return self.ctx.make_plaintext(vec, ct.limbs, self.ctx.delta,
+                                       num_slots)
+
+    # ---------------- constructRank (sort_algo.h:368-506) ----------------
+    def construct_rank(self, input_array: Ciphertext,
+                       cfg: SignConfig) -> Ciphertext:
+        N = self.N
+        ctx = self.ctx
+        num_partition = min(N, self.max_batch // N)
+        num_batch = N // num_partition
+        num_slots = N * num_partition
+        np_ = min(_NP_RANK[N], num_partition)
+
+        # baby-step pre-rotations of the input
+        babies = [self.rot.rotate(input_array, i).with_slots(num_slots)
+                  for i in range(np_)]
+
+        rank = None
+        dup = input_array.with_slots(num_slots)
+        for i in range(num_batch):
+            shifted = self._vec_rots_opt(babies, num_partition, num_slots,
+                                         np_, i)
+            comp = compare(ctx, dup, shifted, self.sign_func, cfg)
+            rank = comp if rank is None else ctx.add(rank, comp)
+
+        # log-tree reduction over partitions
+        for i in range(1, int(np.log2(num_partition)) + 1):
+            rank = ctx.add(rank, self.rot.rotate(rank, num_slots >> i))
+        rank = rank.with_slots(N)
+        # compensate self-comparison (compare(x,x) = 0.5)
+        return ctx.sub(rank, 0.5)
+
+    def _vec_rots_opt(self, babies, num_partition, num_slots, np_, is_):
+        """One composed rotation per np_-group of masked baby steps
+        (vecRotsOpt, sort_algo.h:326-366)."""
+        ctx = self.ctx
+        result = None
+        for j in range(num_partition // np_):
+            T = None
+            for i in range(np_):
+                msk = self._mask(num_slots, np_ * j + i, self.N)
+                msk = _rotate_list(msk, -is_ * num_partition - j * np_)
+                term = ctx.mult(babies[i],
+                                self._pt(msk, babies[i], num_slots))
+                T = term if T is None else ctx.add(T, term)
+            T = self.rot.rotate(T, is_ * num_partition + j * np_)
+            result = T if result is None else ctx.add(result, T)
+        return result
+
+    # ---------- rotationIndexCheckN (sort_algo.h:658-750) ----------
+    def rotation_index_check_n(self, ctx_rank: Ciphertext,
+                               input_array: Ciphertext) -> Ciphertext:
+        N = self.N
+        ctx = self.ctx
+        num_partition = min(N, self.max_batch // N)
+        num_batch = N // num_partition
+        num_slots = num_partition * N
+        np_ = min(_NP_CHECK[N], max(1, (num_slots // N)))
+
+        index_pt = ctx.make_plaintext(self._index_vector(), ctx_rank.limbs,
+                                      ctx_rank.scale, N)
+        index_minus_rank = ctx.rsub(index_pt, ctx_rank).with_slots(num_slots)
+        input_full = input_array.with_slots(num_slots)
+
+        coeffs = doubled_sinc_coefficients(N)
+        output = None
+        for b in range(num_batch):
+            chk = self._checking_vector_n(num_slots, b * num_partition)
+            rot_index = ctx.sub(index_minus_rank,
+                                self._pt_at(chk, index_minus_rank, num_slots))
+            # range (-2N, N) -> (-1, 0.5)
+            rot_index = ctx.mult_scalar(rot_index, 1.0 / N / 2.0)
+            sinc_mask = eval_chebyshev_series_ps(ctx, rot_index, coeffs)
+            masked = ctx.mult(sinc_mask, input_full)
+            masked_rots = [self.rot.rotate(masked, i) for i in range(np_)]
+            rotated = self._blind_rotation_opt_n(
+                masked_rots, num_slots, np_, b, num_partition)
+            output = rotated if output is None else ctx.add(output, rotated)
+
+        for i in range(1, int(np.log2(num_partition)) + 1):
+            output = ctx.add(output, self.rot.rotate(output, num_slots >> i))
+        return output.with_slots(N)
+
+    def _pt_at(self, vec, ct, num_slots):
+        """Plaintext at the ciphertext's exact scale (for subs from cts)."""
+        return self.ctx.make_plaintext(vec, ct.limbs, ct.scale, num_slots)
+
+    def _blind_rotation_opt_n(self, masked_inputs, num_slots, np_, ib,
+                              num_partition):
+        """(blindRotationOptN, sort_algo.h:561-584)."""
+        ctx = self.ctx
+        result = None
+        groups = (num_slots // self.N) // np_
+        for i in range(groups):
+            tmp = None
+            for j in range(np_):
+                msk = self._mask(num_slots, np_ * i + j, self.N)
+                msk = _rotate_list(msk, j)
+                term = ctx.mult(masked_inputs[j],
+                                self._pt(msk, masked_inputs[j], num_slots))
+                tmp = term if tmp is None else ctx.add(tmp, term)
+            tmp = self.rot.rotate(tmp, ib * num_partition + i * np_)
+            result = tmp if result is None else ctx.add(result, tmp)
+        return result
+
+    # ---------------- sort (sort_algo.h:752-774) ----------------
+    def sort(self, input_array: Ciphertext,
+             cfg: SignConfig | None = None) -> Ciphertext:
+        cfg = cfg or default_sign_config(self.N)
+        rank = self.construct_rank(input_array, cfg)
+        return self.rotation_index_check_n(rank, input_array)
