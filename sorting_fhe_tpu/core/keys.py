@@ -44,15 +44,26 @@ def _ntt_all(coeffs_signed: np.ndarray, primes: list[int], n: int,
     return out
 
 
+class _LazySNtt(dict):
+    """Per-prime plain-domain NTT of the secret, computed on demand."""
+
+    def __init__(self, coeffs: np.ndarray, n: int):
+        super().__init__()
+        self._coeffs = coeffs
+        self._n = n
+
+    def __missing__(self, p: int):
+        r = (self._coeffs % p).astype(np.uint64)
+        v = host_ntt(p, self._n).fwd(r)
+        self[p] = v
+        return v
+
+
 class SecretKey:
     def __init__(self, params: CkksParams, rng: np.random.Generator):
         self.params = params
         self.s_coeffs = sample_ternary(params.n, rng)
-        # NTT (plain-domain) secret residues per prime, for fast host ops
-        self.s_ntt = {}
-        for p in params.all_primes:
-            r = (self.s_coeffs % p).astype(np.uint64)
-            self.s_ntt[p] = host_ntt(p, params.n).fwd(r)
+        self.s_ntt = _LazySNtt(self.s_coeffs, params.n)
 
 
 class KeyGenerator:
@@ -91,39 +102,90 @@ class KeyGenerator:
                 for j in range(-(-nq // alpha))]
 
     def gen_ksk(self, s_prime_coeffs: np.ndarray) -> np.ndarray:
-        """Key switching key for s' -> s.  Returns u32
-        [dnum, 2, nq + nsp, n] in NTT+Montgomery domain."""
+        """Key switching key for s' -> s: u32 [dnum, 2, nq + nsp, n],
+        NTT+Montgomery domain.
+
+        Generated ON DEVICE (batched NTTs over all rows) — at ring 2^17
+        with ~100 limbs a host-loop keygen would take hours; on TPU it is
+        milliseconds per key.  Only the small secret/error polynomials are
+        sampled on the host."""
+        import jax
+        import jax.numpy as jnp
+        from .ntt import ntt_fwd
+        from .rns import mont_mul, shoup_mul, add_mod, sub_mod
+
         P = self.params
         n = P.n
         qs = P.q
         sp = P.p_special
         rows = qs + sp
+        nrows = len(rows)
         digits = self._digit_indices()
         dnum = len(digits)
         Pint = P.P_int
         Q = 1
         for q in qs:
             Q *= q
+        rows_arr = np.array(rows, dtype=np.uint64)
 
-        out = np.empty((dnum, 2, len(rows), n), dtype=np.uint32)
+        def rows_ntt_mont(coeffs_signed: np.ndarray) -> jnp.ndarray:
+            """signed small poly -> [nrows, n] NTT+Mont on device."""
+            red = (coeffs_signed[None, :] % rows_arr[:, None].astype(np.int64))
+            red = red.astype(np.uint32)
+            rmod = np.array([(1 << 32) % p for p in rows], dtype=np.uint32)
+            rsh = np.array([(int(r) << 32) // p
+                            for r, p in zip(rmod, rows)], dtype=np.uint32)
+            dev = shoup_mul(jnp.asarray(red),
+                            jnp.asarray(rmod).reshape(-1, 1),
+                            jnp.asarray(rsh).reshape(-1, 1),
+                            P.ntt.p.reshape(-1, 1))
+            return ntt_fwd(dev, P.ntt)
+
+        s_ntt = rows_ntt_mont(self.sk.s_coeffs)
+        sp_ntt = rows_ntt_mont(np.asarray(s_prime_coeffs, dtype=np.int64))
+        p_dev = P.ntt.p.reshape(1, -1, 1)
+        npi_dev = P.mont_neg_p_inv.reshape(1, -1, 1)
+
+        # uniform a (Montgomery-domain uniform == uniform); host PRNG for
+        # reproducibility via a seed, but sampled in one vectorized draw
+        a_all = np.empty((dnum, nrows, n), dtype=np.uint32)
+        for r, p in enumerate(rows):
+            a_all[:, r, :] = self.rng.integers(
+                0, p, size=(dnum, n), dtype=np.uint64).astype(np.uint32)
+        a_dev = jnp.asarray(a_all)
+
+        e_all = np.stack([sample_gaussian(n, P.cfg.sigma, self.rng)
+                          for _ in range(dnum)])       # [dnum, n] signed
+        e_rows = (e_all[:, None, :] %
+                  rows_arr[None, :, None].astype(np.int64)).astype(np.uint32)
+        rmod = np.array([(1 << 32) % p for p in rows], dtype=np.uint32)
+        rsh = np.array([(int(r) << 32) // p
+                        for r, p in zip(rmod, rows)], dtype=np.uint32)
+        e_dev = shoup_mul(jnp.asarray(e_rows),
+                          jnp.asarray(rmod).reshape(1, -1, 1),
+                          jnp.asarray(rsh).reshape(1, -1, 1), p_dev)
+        e_ntt = ntt_fwd(e_dev, P.ntt)                  # [dnum, nrows, n]
+
+        # per-digit reconstruction weights P*W_j mod each row prime (Shoup)
+        w = np.empty((dnum, nrows), dtype=np.uint32)
+        wsh = np.empty((dnum, nrows), dtype=np.uint32)
         for j, dig in enumerate(digits):
             Dj = 1
             for i in dig:
                 Dj *= qs[i]
             Dhat = Q // Dj
-            Wj = Dhat * nt.mod_inverse(Dhat % Dj, Dj)  # mod Q reconstruction
-            e = sample_gaussian(n, P.cfg.sigma, self.rng)
+            Wj = Dhat * nt.mod_inverse(Dhat % Dj, Dj)
             for r, p in enumerate(rows):
-                hp = host_ntt(p, n)
-                a = self.rng.integers(0, p, size=n, dtype=np.uint64)
-                s = self.sk.s_ntt[p]
-                en = hp.fwd((e % p).astype(np.uint64))
-                spn = hp.fwd((s_prime_coeffs % p).astype(np.uint64))
-                w = (Pint % p) * (Wj % p) % p
-                b = (p - a * s % p + en + np.uint64(w) * spn % p) % p
-                out[j, 0, r] = _to_mont(b, p).astype(np.uint32)
-                out[j, 1, r] = _to_mont(a, p).astype(np.uint32)
-        return out
+                c = (Pint % p) * (Wj % p) % p
+                w[j, r] = c
+                wsh[j, r] = (c << 32) // p
+
+        term = shoup_mul(sp_ntt[None], jnp.asarray(w)[:, :, None],
+                         jnp.asarray(wsh)[:, :, None], p_dev)
+        asl = mont_mul(a_dev, s_ntt[None], p_dev, npi_dev)
+        b = add_mod(sub_mod(e_ntt, asl, p_dev), term, p_dev)
+        out = jnp.stack([b, a_dev], axis=1)            # [dnum, 2, nrows, n]
+        return out  # device array; callers keep it resident
 
     def gen_relin_key(self) -> np.ndarray:
         # s^2 mod (X^n + 1) has coefficients bounded by n < p/2, so a single
