@@ -25,7 +25,9 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-U16_MASK = jnp.uint32(0xFFFF)
+# plain int literal: weak-typed in jnp ops, and safe to use inside Pallas
+# kernel bodies (a jnp scalar would be captured as an illegal kernel const)
+U16_MASK = 0xFFFF
 
 
 def mulhi_u32(a, b):

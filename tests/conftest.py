@@ -1,11 +1,13 @@
 """Test environment: force local CPU with a virtual 8-device mesh.
 
 The session environment pins an `axon` TPU tunnel as the default JAX
-backend (and re-registers it in every interpreter via sitecustomize), so
-merely setting JAX_PLATFORMS=cpu is not enough — we pin the default device
-to the local CPU backend explicitly.  Unit tests follow the reference's
-cheap-crypto strategy (SURVEY.md §4): small rings, no security, CPU.
-Full-fidelity TPU runs happen in bench.py.
+backend (sitecustomize re-registers it in every interpreter and overrides
+JAX_PLATFORMS via jax.config).  Unit tests must neither use nor *touch*
+the tunnel — initializing the axon backend can hang if the remote grant is
+unavailable — so we re-pin jax_platforms to cpu before any backend is
+instantiated.  Tests follow the reference's cheap-crypto strategy
+(SURVEY.md §4): small rings, no security, CPU; bench.py runs full-fidelity
+parameters on the TPU.
 """
 
 import os
@@ -17,6 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# undo the axon sitecustomize override so backends() never dials the tunnel
+jax.config.update("jax_platforms", "cpu")
 
 _CPUS = jax.devices("cpu")
 assert len(_CPUS) == 8, _CPUS
