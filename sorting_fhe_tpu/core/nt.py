@@ -150,6 +150,19 @@ def bit_reverse_indices(n: int) -> np.ndarray:
     return rev
 
 
+def power_table(base: int, n: int, p: int) -> np.ndarray:
+    """[1, base, base^2, ..., base^(n-1)] mod p as uint64, via doubling."""
+    out = np.ones(n, dtype=np.uint64)
+    block = 1
+    pp = np.uint64(p)
+    while block < n:
+        step = np.uint64(pow(base, block, p))
+        end = min(2 * block, n)
+        out[block:end] = out[: end - block] * step % pp
+        block *= 2
+    return out
+
+
 def make_ntt_tables(p: int, n: int) -> dict[str, np.ndarray]:
     """Twiddle tables for the negacyclic NTT (Longa–Naehrig iterative form).
 
@@ -161,25 +174,18 @@ def make_ntt_tables(p: int, n: int) -> dict[str, np.ndarray]:
     psi_inv = mod_inverse(psi, p)
     rev = bit_reverse_indices(n)
 
-    pw = np.empty(n, dtype=np.uint64)
-    pwi = np.empty(n, dtype=np.uint64)
-    x = 1
-    xi = 1
-    tmp = np.empty(n, dtype=object)
-    tmpi = np.empty(n, dtype=object)
-    for i in range(n):
-        tmp[i] = x
-        tmpi[i] = xi
-        x = x * psi % p
-        xi = xi * psi_inv % p
-    for i in range(n):
-        pw[i] = tmp[rev[i]]
-        pwi[i] = tmpi[rev[i]]
+    # power tables by doubling: log2(n) vectorized passes; products stay
+    # < 2^62 (p < 2^31) so plain uint64 modular math suffices
+    tmp = power_table(psi, n, p)
+    tmpi = power_table(psi_inv, n, p)
+    pw = tmp[rev]
+    pwi = tmpi[rev]
 
     n_inv = mod_inverse(n, p)
 
     def shoup(w: np.ndarray) -> np.ndarray:
-        return ((w.astype(object) * (1 << 32)) // p).astype(np.uint64)
+        # w < 2^31 so (w << 32) < 2^63 fits in uint64
+        return (w << np.uint64(32)) // np.uint64(p)
 
     return {
         "psi_brv": pw.astype(np.uint32),

@@ -25,9 +25,10 @@ import numpy as np
 from ..core.ckks import CkksContext, Ciphertext
 from ..core.poly_eval import eval_chebyshev_series_ps
 from ..ops.sign import SignFunc, SignConfig, CompositeSignConfig
-from ..ops.comparison import compare
+from ..ops.comparison import compare, indicator as _indicator
 from ..ops.rotation import RotationComposer, DecomposeAlgo
 from ..ops.chebyshev import doubled_sinc_coefficients, sinc_coefficients
+from .mehp24 import indicator_adv as _indicator_adv
 
 
 # Rotation-key index lists per N (spec data ported from the reference's
@@ -46,6 +47,26 @@ DIRECT_SORT_ROTATIONS: dict[int, list[int]] = {
           131, 132, 133, 134, 135, 144, 160, 176, 192, 208, 224, 240, 256,
           512, 1024, 2048, 4096, 8192, 16384, 32768],
 }
+
+# N=512: 64-strided blocks with 0-7 offsets + 16-strides (sort_algo.h:133-146)
+DIRECT_SORT_ROTATIONS[512] = (
+    list(range(1, 17)) + [24, 32, 40, 48, 56]
+    + sorted({64 * b + o for b in range(1, 8) for o in range(8)}
+             | {64 * b + o for b in range(8) for o in (16, 32, 48)}
+             | {512, 1024, 2048, 4096, 8192, 16384, 32768}))
+
+# N=1024: 1..35, then 32-strided blocks with 0-3 offsets (sort_algo.h:147-163)
+DIRECT_SORT_ROTATIONS[1024] = (
+    list(range(1, 36))
+    + sorted({32 * b + o for b in range(2, 32) for o in range(4)}
+             | {1024, 2048, 4096, 8192, 16384, 32768}))
+
+# N=2048 uses an irregular NAF-flavored set (sort_algo.h:164-196); the
+# DirectSort pipeline is exercised at 2048 only through DirectSortNTest,
+# and any missing index is composed from this power-of-two base.
+DIRECT_SORT_ROTATIONS[2048] = (
+    [1, 2, 4, 8, 16, 31, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192,
+     16384, 32768])
 
 # baby-step counts (sort_algo.h:382-416 for constructRank;
 # sort_algo.h:670-703 for rotationIndexCheckN)
@@ -234,3 +255,194 @@ class DirectSort:
         cfg = cfg or default_sign_config(self.N)
         rank = self.construct_rank(input_array, cfg)
         return self.rotation_index_check_n(rank, input_array)
+
+    # ============ hybrid variants (sort_algo.h:776-1389) ============
+    # MEHP24-style oblivious permutation applied to the SIMD rank: the
+    # rank vector is reinterpreted at N*N slots (each row holds the full
+    # rank pattern), an indicator of (row - rank_j) selects matrix cell
+    # (i, j) iff rank_j == i, the input is mask-multiplied in, and
+    # column-sum + transpose ladders collapse the matrix to the sorted
+    # vector.
+
+    MAX_ARRAY_SIZE = 256        # sub-block width for N > 256
+
+    def _hybrid_geometry(self):
+        N = self.N
+        if N > self.MAX_ARRAY_SIZE:
+            return self.max_batch, N // self.MAX_ARRAY_SIZE
+        return N * N, 1
+
+    def _binary_path(self, index: int, matrix_size: int) -> list[int]:
+        """MSB-first bits of index (getBinaryPath, sort_algo.h:815-821)."""
+        bits = int(np.log2(matrix_size))
+        return [(index >> i) & 1 for i in range(bits - 1, -1, -1)]
+
+    def sum_columns_to_target(self, c: Ciphertext, matrix_size: int,
+                              column_index: int,
+                              mask_output: bool) -> Ciphertext:
+        """Log-ladder column sum landing on a chosen column
+        (sumColumnsToTarget, sort_algo.h:824-859)."""
+        ctx = self.ctx
+        ns = matrix_size * matrix_size
+        c = c.with_slots(ns)
+        step = matrix_size >> 1
+        for bit in self._binary_path(column_index, matrix_size):
+            c = ctx.add(c, ctx.rotate(c, -step if bit else step))
+            step >>= 1
+        if mask_output:
+            msk = np.zeros(ns)
+            msk[column_index::matrix_size] = 1.0
+            c = ctx.mult(c, self._pt(msk, c, ns))
+        return c
+
+    def transpose_column_target(self, c: Ciphertext, matrix_size: int,
+                                row_index: int,
+                                mask_output: bool) -> Ciphertext:
+        """Column -> chosen row (transposeColumnTarget,
+        sort_algo.h:861-891)."""
+        ctx = self.ctx
+        ns = matrix_size * matrix_size
+        c = c.with_slots(ns)
+        step = matrix_size * (matrix_size - 1) // 2
+        for bit in self._binary_path(row_index, matrix_size):
+            c = ctx.add(c, ctx.rotate(c, -step if bit else step))
+            step >>= 1
+        if mask_output:
+            msk = np.zeros(ns)
+            msk[matrix_size * row_index: matrix_size * (row_index + 1)] = 1.0
+            c = ctx.mult(c, self._pt(msk, c, ns))
+        return c
+
+    def _hybrid_sub_mask(self, b: int, num_slots: int,
+                         scaled: bool) -> np.ndarray:
+        """subMasks[b][i*as + j] = (b*as + i) (/N if scaled)
+        (sort_algo.h:918-927)."""
+        asz = min(self.N, self.MAX_ARRAY_SIZE)
+        rows = np.repeat(np.arange(asz, dtype=np.float64) + b * asz, asz)
+        full = np.tile(rows, num_slots // (asz * asz))[:num_slots]
+        return full / self.N if scaled else full
+
+    def _gen_hybrid_keys(self):
+        half = self.ctx.n // 2
+        asz = min(self.N, self.MAX_ARRAY_SIZE)
+        keys = set()
+        step = asz >> 1
+        while step:
+            keys |= {step % half, -step % half}
+            step >>= 1
+        step = asz * (asz - 1) // 2
+        for _ in range(int(np.log2(asz))):
+            keys |= {step % half, -step % half}
+            step >>= 1
+        for b in range(1, self.N // self.MAX_ARRAY_SIZE + 1):
+            keys.add((b * self.MAX_ARRAY_SIZE) % half)
+        self.ctx.gen_rotation_keys(sorted(k for k in keys if k))
+
+    def _rotation_index_check_hybrid_core(self, ctx_rank: Ciphertext,
+                                          input_array: Ciphertext,
+                                          kernel, sub_mask_fn) -> Ciphertext:
+        """Shared skeleton of the three hybrid permutation stages
+        (sort_algo.h:893-1048, 1067-1210, 1232-1373).  `kernel(diff)`
+        maps the (index - rank) ciphertext to the 0/1 selection mask;
+        `sub_mask_fn(b, num_slots)` builds the per-block row-index mask."""
+        ctx = self.ctx
+        self._gen_hybrid_keys()
+        num_slots, num_batch = self._hybrid_geometry()
+        asz = min(self.N, self.MAX_ARRAY_SIZE)
+
+        r = ctx_rank.with_slots(num_slots)
+        inp = input_array.with_slots(num_slots)
+        rots_rank = [ctx.rotate(r, b * self.MAX_ARRAY_SIZE)
+                     for b in range(num_batch)]
+        rots_input = [ctx.rotate(inp, b * self.MAX_ARRAY_SIZE)
+                      for b in range(num_batch)]
+
+        result = None
+        for b in range(num_batch):
+            sub_masked = None
+            for k in range(num_batch):
+                diff = ctx.rsub(
+                    self._pt_at(sub_mask_fn(b, num_slots),
+                                rots_rank[k], num_slots), rots_rank[k])
+                sel = kernel(diff)
+                term = ctx.mult(rots_input[k], sel)
+                sub_masked = term if sub_masked is None else \
+                    ctx.add(sub_masked, term)
+            sub_masked = self.sum_columns_to_target(sub_masked, asz, b, True)
+            masked = self.transpose_column_target(sub_masked, asz, b, True)
+            result = masked if result is None else ctx.add(result, masked)
+        return result.with_slots(self.N)
+
+    def rotation_index_check_hybrid(self, ctx_rank: Ciphertext,
+                                    input_array: Ciphertext) -> Ciphertext:
+        """sinc kernel for N < 256, indicator for larger
+        (rotationIndexCheckHybrid, sort_algo.h:893-1048)."""
+        ctx = self.ctx
+        N = self.N
+        r_scaled = ctx.mult_scalar(ctx_rank, 1.0 / N)
+
+        if N < 256:
+            coeffs = sinc_coefficients(N)
+
+            def kernel(diff):
+                return eval_chebyshev_series_ps(ctx, diff, coeffs)
+        else:
+            dg = 4 if N < 512 else 5
+            cfg = SignConfig(CompositeSignConfig(3, dg, 2))
+
+            def kernel(diff):
+                return _indicator(ctx, diff, 0.5 / N, self.sign_func, cfg)
+        return self._rotation_index_check_hybrid_core(
+            r_scaled, input_array, kernel,
+            lambda b, ns: self._hybrid_sub_mask(b, ns, True))
+
+    def rotation_index_check_hybrid1(self, ctx_rank: Ciphertext,
+                                     input_array: Ciphertext) -> Ciphertext:
+        """mehp24 indicatorAdv with dg_i = (log2 N + 1)/2, df_i = 2
+        (rotationIndexCheckHybrid1, sort_algo.h:1067-1210)."""
+        ctx = self.ctx
+        N = self.N
+        dg_i = (int(np.log2(N)) + 1) // 2
+        df_i = 2
+
+        def kernel(diff):
+            return _indicator_adv(ctx, diff, float(N), dg_i, df_i)
+        return self._rotation_index_check_hybrid_core(
+            ctx_rank, input_array, kernel,
+            lambda b, ns: self._hybrid_sub_mask(b, ns, False))
+
+    def rotation_index_check_hybrid2(self, ctx_rank: Ciphertext,
+                                     input_array: Ciphertext) -> Ciphertext:
+        """sinc Chebyshev at every size (rotationIndexCheckHybrid2,
+        sort_algo.h:1232-1373)."""
+        ctx = self.ctx
+        N = self.N
+        r_scaled = ctx.mult_scalar(ctx_rank, 1.0 / N)
+        coeffs = sinc_coefficients(N)
+
+        def kernel(diff):
+            return eval_chebyshev_series_ps(ctx, diff, coeffs)
+        return self._rotation_index_check_hybrid_core(
+            r_scaled, input_array, kernel,
+            lambda b, ns: self._hybrid_sub_mask(b, ns, True))
+
+    def sort_hybrid(self, input_array: Ciphertext,
+                    cfg: SignConfig | None = None) -> Ciphertext:
+        """constructRank + MEHP24-style permutation (sort_algo.h:1051-1065)."""
+        cfg = cfg or default_sign_config(self.N)
+        rank = self.construct_rank(input_array, cfg)
+        return self.rotation_index_check_hybrid(rank, input_array)
+
+    def sort_hybrid1(self, input_array: Ciphertext,
+                     cfg: SignConfig | None = None) -> Ciphertext:
+        """(sort_algo.h:1214-1229)."""
+        cfg = cfg or default_sign_config(self.N)
+        rank = self.construct_rank(input_array, cfg)
+        return self.rotation_index_check_hybrid1(rank, input_array)
+
+    def sort_hybrid2(self, input_array: Ciphertext,
+                     cfg: SignConfig | None = None) -> Ciphertext:
+        """(sort_algo.h:1375-1389)."""
+        cfg = cfg or default_sign_config(self.N)
+        rank = self.construct_rank(input_array, cfg)
+        return self.rotation_index_check_hybrid2(rank, input_array)

@@ -37,6 +37,26 @@ COEFF_G3 = [0, 4589.0 / 1024.0, 0, -16577.0 / 1024.0, 0, 25614.0 / 1024.0,
             0, -12860.0 / 1024.0]
 
 
+def sign_adv(ctx: CkksContext, c: Ciphertext, dg: int, df: int) -> Ciphertext:
+    """dg x g3, (df-1) x f3, then f3 with (y+1)/2 folded in
+    (mehp24_utils.cpp:166-184)."""
+    for _ in range(dg):
+        c = eval_poly_linear(ctx, c, COEFF_G3)
+    for _ in range(df - 1):
+        c = eval_poly_linear(ctx, c, COEFF_F3)
+    return eval_poly_linear(ctx, c, COEFF_F3_FINAL)
+
+
+def indicator_adv(ctx: CkksContext, c: Ciphertext, b: float, dg: int,
+                  df: int) -> Ciphertext:
+    """1 iff |c| < 0.5 (after scaling by 1/b) via two advanced signs
+    (mehp24_utils.cpp:246-253)."""
+    tmp = ctx.mult_scalar(c, 1.0 / b)
+    c1 = sign_adv(ctx, ctx.add(tmp, 0.5 / b), dg, df)
+    c2 = sign_adv(ctx, ctx.sub(tmp, 0.5 / b), dg, df)
+    return ctx.mult(c1, ctx.rsub(1.0, c2))
+
+
 def depth2degree(depth: int) -> int:
     """Chebyshev degree evaluable in the given depth
     (mehp24_utils.cpp:215-244)."""
@@ -150,11 +170,7 @@ class Mehp24:
 
     # ---------------- comparisons (mehp24_utils.cpp:105-261) ---------------
     def sign_adv(self, c, dg, df):
-        for _ in range(dg):
-            c = eval_poly_linear(self.ctx, c, COEFF_G3)
-        for _ in range(df - 1):
-            c = eval_poly_linear(self.ctx, c, COEFF_F3)
-        return eval_poly_linear(self.ctx, c, COEFF_F3_FINAL)
+        return sign_adv(self.ctx, c, dg, df)
 
     def compare_adv(self, c1, c2, dg, df):
         return self.sign_adv(self.ctx.sub(c1, c2), dg, df)
@@ -181,12 +197,8 @@ class Mehp24:
             c, a, b, degree)
 
     def indicator_adv(self, c, b, dg, df):
-        ctx = self.ctx
-        tmp = ctx.mult_scalar(c, 1.0 / b)
-        c1 = self.sign_adv(ctx.add(tmp, 0.5 / b), dg, df)
-        c2 = self.sign_adv(ctx.sub(tmp, 0.5 / b), dg, df)
         # sign_adv already folds (y+1)/2, so these are 0/1 comparisons
-        return ctx.mult(c1, ctx.rsub(1.0, c2))
+        return indicator_adv(self.ctx, c, b, dg, df)
 
     def indicator_adv_shifted(self, c, b, dg, df):
         ctx = self.ctx

@@ -138,9 +138,16 @@ class RotationComposer:
         if rotation % ct.slots == 0:
             return ct
         half = self.ctx.n // 2
-        if rotation in self.available or rotation % half in self.available:
+        # single-key fast path: an exact key for this index (incl. keys
+        # registered on the context after construction, e.g. hybrid-stage
+        # or negative-step keys)
+        if rotation in self.available or rotation % half in self.available \
+                or rotation % half in getattr(self.ctx, "rot_keys", {}):
             return self.ctx.rotate(ct, rotation)
-        steps = self.decomposer.decompose(rotation, ct.slots, self.algo)
+        # composed path: normalize into the slot period first — a negative
+        # rotation of an s-periodic vector equals rotation by (r mod s)
+        r = rotation % ct.slots
+        steps = self.decomposer.decompose(r, ct.slots, self.algo)
         out = ct
         for s in steps:
             out = self.ctx.rotate(out, s.step_size)

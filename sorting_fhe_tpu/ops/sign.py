@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import enum
 from dataclasses import dataclass
+from typing import Callable, Optional
 
 from ..core.ckks import CkksContext, Ciphertext
 from ..core.poly_eval import eval_chebyshev_series_ps, eval_chebyshev_function
@@ -38,7 +39,10 @@ class CompositeSignConfig:
 @dataclass
 class SignConfig:
     compos: CompositeSignConfig
-    mult_depth: int = 0   # for lazy bootstrap decisions (once available)
+    mult_depth: int = 0   # total depth budget, for lazy bootstrap decisions
+    # lazy-bootstrap hook (reference sign.cpp:160-185: bootstraps between
+    # f/g iterations when remaining depth < required + 2)
+    bootstrap_hook: Optional[Callable] = None
 
 
 # depth consumed by one application of g_n / f_n
@@ -113,15 +117,32 @@ def _f4(ctx, x):
     return y
 
 
+def _remaining_levels(ctx: CkksContext, ct: Ciphertext) -> int:
+    P = ctx.params
+    return (ct.limbs - P.base_limbs) // P.comp
+
+
 def composite_sign(ctx: CkksContext, x: Ciphertext, cfg: SignConfig,
                    n: int) -> Ciphertext:
-    """dg iterations of g_n then df of f_n (reference sign.cpp:160-185)."""
+    """dg iterations of g_n then df of f_n, with the reference's lazy
+    bootstrap between iterations when remaining depth < required + 2
+    (sign.cpp:160-185)."""
     g = _g3 if n == 3 else _g4
     f = _f3 if n == 3 else _f4
-    y = g(ctx, x)
+
+    def ensure(y, need):
+        if cfg.bootstrap_hook is not None and \
+                _remaining_levels(ctx, y) < need + 2:
+            y = cfg.bootstrap_hook(y)
+        return y
+
+    y = ensure(x, G_DEPTH[n])
+    y = g(ctx, y)
     for _ in range(1, cfg.compos.dg):
+        y = ensure(y, G_DEPTH[n])
         y = g(ctx, y)
     for _ in range(cfg.compos.df):
+        y = ensure(y, F_DEPTH[n])
         y = f(ctx, y)
     return y
 
