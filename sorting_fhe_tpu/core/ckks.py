@@ -501,9 +501,12 @@ class CkksContext:
         while acc < bits_needed and need < ct.limbs:
             acc += np.log2(float(self.params.q[need]))
             need += 1
-        data = np.asarray(ct.data)
+        need = min(ct.limbs, need)
+        # slice on device: only the limbs decryption uses cross the
+        # device->host link (full towers are ~100 MB at ring 2^17)
+        data = np.asarray(ct.data[:, :need, :])
         coeffs = self.decryptor.decrypt_to_coeffs(
-            data, ct.limbs, max_limbs=min(ct.limbs, need))
+            data, need, max_limbs=need)
         return encoding.decode_real(coeffs.astype(np.float64), self.n,
                                     ct.scale, ct.slots)
 

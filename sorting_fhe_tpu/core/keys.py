@@ -105,14 +105,12 @@ class KeyGenerator:
         """Key switching key for s' -> s: u32 [dnum, 2, nq + nsp, n],
         NTT+Montgomery domain.
 
-        Generated ON DEVICE (batched NTTs over all rows) — at ring 2^17
-        with ~100 limbs a host-loop keygen would take hours; on TPU it is
-        milliseconds per key.  Only the small secret/error polynomials are
-        sampled on the host."""
-        import jax
+        Generated ON DEVICE as a single jitted kernel (batched NTTs over
+        all rows) — at ring 2^17 with ~100 limbs a host-loop keygen would
+        take hours; on TPU it is milliseconds per key after the one
+        compile.  Only the small secret/error polynomials are sampled on
+        the host."""
         import jax.numpy as jnp
-        from .ntt import ntt_fwd
-        from .rns import mont_mul, shoup_mul, add_mod, sub_mod
 
         P = self.params
         n = P.n
@@ -126,45 +124,32 @@ class KeyGenerator:
         Q = 1
         for q in qs:
             Q *= q
-        rows_arr = np.array(rows, dtype=np.uint64)
+        rows_i64 = np.array(rows, dtype=np.int64)
 
-        def rows_ntt_mont(coeffs_signed: np.ndarray) -> jnp.ndarray:
-            """signed small poly -> [nrows, n] NTT+Mont on device."""
-            red = (coeffs_signed[None, :] % rows_arr[:, None].astype(np.int64))
-            red = red.astype(np.uint32)
+        if not hasattr(self, "_ksk_consts"):
             rmod = np.array([(1 << 32) % p for p in rows], dtype=np.uint32)
             rsh = np.array([(int(r) << 32) // p
                             for r, p in zip(rmod, rows)], dtype=np.uint32)
-            dev = shoup_mul(jnp.asarray(red),
-                            jnp.asarray(rmod).reshape(-1, 1),
-                            jnp.asarray(rsh).reshape(-1, 1),
-                            P.ntt.p.reshape(-1, 1))
-            return ntt_fwd(dev, P.ntt)
+            self._ksk_consts = (jnp.asarray(rmod), jnp.asarray(rsh))
+            self._s_red = jnp.asarray(
+                (self.sk.s_coeffs[None, :] % rows_i64[:, None])
+                .astype(np.uint32))
 
-        s_ntt = rows_ntt_mont(self.sk.s_coeffs)
-        sp_ntt = rows_ntt_mont(np.asarray(s_prime_coeffs, dtype=np.int64))
-        p_dev = P.ntt.p.reshape(1, -1, 1)
-        npi_dev = P.mont_neg_p_inv.reshape(1, -1, 1)
+        sp_red = jnp.asarray(
+            (np.asarray(s_prime_coeffs, dtype=np.int64)[None, :]
+             % rows_i64[:, None]).astype(np.uint32))
 
         # uniform a (Montgomery-domain uniform == uniform); host PRNG for
-        # reproducibility via a seed, but sampled in one vectorized draw
+        # reproducibility via a seed
         a_all = np.empty((dnum, nrows, n), dtype=np.uint32)
         for r, p in enumerate(rows):
             a_all[:, r, :] = self.rng.integers(
                 0, p, size=(dnum, n), dtype=np.uint64).astype(np.uint32)
-        a_dev = jnp.asarray(a_all)
 
         e_all = np.stack([sample_gaussian(n, P.cfg.sigma, self.rng)
                           for _ in range(dnum)])       # [dnum, n] signed
-        e_rows = (e_all[:, None, :] %
-                  rows_arr[None, :, None].astype(np.int64)).astype(np.uint32)
-        rmod = np.array([(1 << 32) % p for p in rows], dtype=np.uint32)
-        rsh = np.array([(int(r) << 32) // p
-                        for r, p in zip(rmod, rows)], dtype=np.uint32)
-        e_dev = shoup_mul(jnp.asarray(e_rows),
-                          jnp.asarray(rmod).reshape(1, -1, 1),
-                          jnp.asarray(rsh).reshape(1, -1, 1), p_dev)
-        e_ntt = ntt_fwd(e_dev, P.ntt)                  # [dnum, nrows, n]
+        e_red = (e_all[:, None, :] %
+                 rows_i64[None, :, None]).astype(np.uint32)
 
         # per-digit reconstruction weights P*W_j mod each row prime (Shoup)
         w = np.empty((dnum, nrows), dtype=np.uint32)
@@ -180,12 +165,11 @@ class KeyGenerator:
                 w[j, r] = c
                 wsh[j, r] = (c << 32) // p
 
-        term = shoup_mul(sp_ntt[None], jnp.asarray(w)[:, :, None],
-                         jnp.asarray(wsh)[:, :, None], p_dev)
-        asl = mont_mul(a_dev, s_ntt[None], p_dev, npi_dev)
-        b = add_mod(sub_mod(e_ntt, asl, p_dev), term, p_dev)
-        out = jnp.stack([b, a_dev], axis=1)            # [dnum, 2, nrows, n]
-        return out  # device array; callers keep it resident
+        rmod, rsh = self._ksk_consts
+        return _ksk_kernel(self._s_red, sp_red, jnp.asarray(a_all),
+                           jnp.asarray(e_red), jnp.asarray(w),
+                           jnp.asarray(wsh), rmod, rsh, P.ntt.p,
+                           P.ntt.psi, P.ntt.psi_sh, P.mont_neg_p_inv)
 
     def gen_relin_key(self) -> np.ndarray:
         # s^2 mod (X^n + 1) has coefficients bounded by n < p/2, so a single
@@ -213,6 +197,36 @@ def _negacyclic_square_int(s: np.ndarray, p: int, n: int) -> np.ndarray:
     sn = hp.fwd((s % p).astype(np.uint64))
     s2 = hp.inv(sn * sn % p).astype(np.int64)
     return np.where(s2 > p // 2, s2 - p, s2)
+
+
+def _ksk_kernel_impl(s_red, sp_red, a, e_red, w, wsh, rmod, rsh,
+                     p, psi, psi_sh, npi):
+    """Device-side KSK assembly: b = e - a*s + P*W_j*s' (all NTT+Mont).
+
+    s_red/sp_red: [nrows, n] plain residues; a: [dnum, nrows, n] uniform
+    (treated as Montgomery-domain, still uniform); e_red: [dnum, nrows, n];
+    w/wsh: [dnum, nrows] Shoup pairs for P*W_j folded with R."""
+    import jax.numpy as jnp
+    from .ntt import ntt_fwd_t
+    from .rns import mont_mul, shoup_mul, add_mod, sub_mod
+
+    p1 = p.reshape(-1, 1)
+    p2 = p.reshape(1, -1, 1)
+    npi2 = npi.reshape(1, -1, 1)
+    to_mont1 = lambda x: shoup_mul(x, rmod.reshape(-1, 1),
+                                   rsh.reshape(-1, 1), p1)
+    s_ntt = ntt_fwd_t(to_mont1(s_red), p, psi, psi_sh)
+    sp_ntt = ntt_fwd_t(to_mont1(sp_red), p, psi, psi_sh)
+    e_m = shoup_mul(e_red, rmod.reshape(1, -1, 1), rsh.reshape(1, -1, 1), p2)
+    e_ntt = ntt_fwd_t(e_m, p, psi, psi_sh)
+    term = shoup_mul(sp_ntt[None], w[:, :, None], wsh[:, :, None], p2)
+    asl = mont_mul(a, s_ntt[None], p2, npi2)
+    b = add_mod(sub_mod(e_ntt, asl, p2), term, p2)
+    return jnp.stack([b, a], axis=1)                   # [dnum, 2, nrows, n]
+
+
+import jax as _jax  # noqa: E402
+_ksk_kernel = _jax.jit(_ksk_kernel_impl)
 
 
 class Encryptor:

@@ -68,6 +68,16 @@ DIRECT_SORT_ROTATIONS[2048] = (
     [1, 2, 4, 8, 16, 31, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192,
      16384, 32768])
 
+def minimal_rotations(N: int, max_batch: int = 1 << 16) -> list[int]:
+    """Power-of-two key set: every rotation the pipelines need composes
+    from these via the binary decomposer.  ~2.5x fewer keys than the
+    reference's single-hop tables — the HBM-fitting choice on one chip,
+    at the cost of ~1 extra key-switch per composed rotation."""
+    num_partition = min(N, max_batch // N)
+    num_slots = N * num_partition
+    return [1 << i for i in range(int(np.log2(num_slots)))]
+
+
 # baby-step counts (sort_algo.h:382-416 for constructRank;
 # sort_algo.h:670-703 for rotationIndexCheckN)
 _NP_RANK = {4: 2, 8: 2, 16: 4, 32: 4, 64: 8, 128: 8, 256: 16, 512: 16,
@@ -323,19 +333,25 @@ class DirectSort:
         return full / self.N if scaled else full
 
     def _gen_hybrid_keys(self):
+        """Keys for exactly the ladder steps the hybrid stage performs:
+        block b's ladders rotate by -step on 1-bits of b's path and +step
+        on 0-bits, so only those signed steps need keys (HBM-conscious —
+        a full +- set at depth 46 would not fit one v5e chip)."""
         half = self.ctx.n // 2
         asz = min(self.N, self.MAX_ARRAY_SIZE)
+        _, num_batch = self._hybrid_geometry()
         keys = set()
-        step = asz >> 1
-        while step:
-            keys |= {step % half, -step % half}
-            step >>= 1
-        step = asz * (asz - 1) // 2
-        for _ in range(int(np.log2(asz))):
-            keys |= {step % half, -step % half}
-            step >>= 1
-        for b in range(1, self.N // self.MAX_ARRAY_SIZE + 1):
-            keys.add((b * self.MAX_ARRAY_SIZE) % half)
+        for b in range(num_batch):
+            step = asz >> 1
+            for bit in self._binary_path(b, asz):
+                keys.add((-step if bit else step) % half)
+                step >>= 1
+            step = asz * (asz - 1) // 2
+            for bit in self._binary_path(b, asz):
+                keys.add((-step if bit else step) % half)
+                step >>= 1
+            if b:
+                keys.add((b * self.MAX_ARRAY_SIZE) % half)
         self.ctx.gen_rotation_keys(sorted(k for k in keys if k))
 
     def _rotation_index_check_hybrid_core(self, ctx_rank: Ciphertext,

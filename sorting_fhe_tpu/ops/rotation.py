@@ -18,6 +18,7 @@ tree's win is caching intermediate *rotated ciphertexts* across calls.
 from __future__ import annotations
 
 import enum
+import math
 from dataclasses import dataclass
 
 from ..core.ckks import CkksContext, Ciphertext
@@ -58,6 +59,7 @@ class Decomposer:
 
     def decompose(self, rotation: int, wrap_n: int,
                   algo: DecomposeAlgo) -> list[Step]:
+        original = rotation
         steps: list[Step] = []
         if not self.rot_indices:
             return [Step(1, rotation)]
@@ -79,6 +81,16 @@ class Decomposer:
                 steps.extend(self._bnaf(rotation))
             else:
                 steps.extend(self._binary(rotation))
+        # decomposition must reproduce the rotation modulo the slot wrap
+        # (the binary recoder only emits bits below self.wrap — catch any
+        # rotation that silently lost high bits rather than mis-rotate).
+        # NAF's -wrap/2 -> +wrap/2 flip shifts the total by self.wrap, so
+        # equivalence holds mod gcd(self.wrap, wrap_n).
+        total = sum(s.step_size for s in steps)
+        mod = math.gcd(self.wrap, wrap_n)
+        assert (total - original) % mod == 0, \
+            f"cannot decompose rotation {original} over keys " \
+            f"{self.rot_indices} (wrap {wrap_n})"
         # drop steps that are no-ops modulo the slot wrap
         return [s for s in steps if s.step_size % wrap_n != 0]
 
