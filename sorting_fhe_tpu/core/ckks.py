@@ -34,6 +34,7 @@ from .params import CkksParams, CkksConfig, BASE_LIMBS
 from .keys import KeyGenerator, Encryptor, Decryptor
 from .rns import add_mod, sub_mod, mont_mul, shoup_mul, barrett_reduce_u32
 from .ntt import ntt_fwd_t, ntt_inv_t
+from .pallas_ntt import ntt_fwd_pallas, ntt_inv_pallas
 
 SCALE_TOL = 2.0 ** -25
 
@@ -74,14 +75,28 @@ def _shoup_host(w: int, p: int) -> tuple[int, int]:
     return w % p, ((w % p) << 32) // p
 
 
+def _resolve_backend(name: str) -> str:
+    """'auto' -> 'pallas' on TPU, 'xla' elsewhere."""
+    if name != "auto":
+        return name
+    try:
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    except Exception:
+        return "xla"
+
+
 class _LevelTables:
     """Per-limb-count device constants for rescale / keyswitch / moddown.
 
-    Registered as a JAX pytree (arrays = leaves, digit structure = static
-    aux data) so whole-op kernels can be jitted with one compile per limb
-    count."""
+    Registered as a JAX pytree (arrays = leaves, digit structure + NTT
+    backend = static aux data) so whole-op kernels can be jitted with one
+    compile per limb count.  The big [rows, n] twiddle tables are NOT
+    sliced per level: every level shares the same full-chain device
+    buffers (XLA tables or Pallas packs) and row selection happens inside
+    the jitted op — at ring 2^17 per-level slices would pin several GB.
+    """
 
-    def __init__(self, P: CkksParams, l: int):
+    def __init__(self, P: CkksParams, l: int, backend: str = "xla"):
         q = P.q
         n = P.n
         nq = P.nq
@@ -91,47 +106,62 @@ class _LevelTables:
         self.l = l
         self.nq = nq
         self.ksp = ksp
+        self.comp = P.comp
+        self.backend = backend
 
-        # --- NTT table slices ---
-        self.q_p = ntt.p[:l]
-        self.q_psi = ntt.psi[:l]
-        self.q_psi_sh = ntt.psi_sh[:l]
-        self.q_ipsi = ntt.ipsi[:l]
-        self.q_ipsi_sh = ntt.ipsi_sh[:l]
-        self.q_ninv = ntt.n_inv[:l]
-        self.q_ninv_sh = ntt.n_inv_sh[:l]
+        # --- small per-row prime vectors (q / ext / special row sets) ---
         sprows = np.arange(nq, nq + ksp)
         ext_rows = np.concatenate([np.arange(l), sprows])
+        self.q_p = ntt.p[:l]
         self.ext_p = ntt.p[ext_rows]
-        self.ext_psi = ntt.psi[ext_rows]
-        self.ext_psi_sh = ntt.psi_sh[ext_rows]
         self.sp_p = ntt.p[sprows]
-        self.sp_ipsi = ntt.ipsi[sprows]
-        self.sp_ipsi_sh = ntt.ipsi_sh[sprows]
-        self.sp_ninv = ntt.n_inv[sprows]
-        self.sp_ninv_sh = ntt.n_inv_sh[sprows]
 
-        # --- rescale tables (drop prime q[l-1]) ---
-        if l > BASE_LIMBS:
-            qd = q[l - 1]
-            rinv = nt.mod_inverse((1 << 32) % qd, qd)
-            self.rs_rinv = jnp.uint32(rinv)
-            self.rs_rinv_sh = jnp.uint32((rinv << 32) // qd)
-            self.rs_qd = jnp.uint32(qd)
-            self.rs_half = jnp.uint32(qd // 2)
-            tgt = q[: l - 1]
-            self.rs_pbar = jnp.asarray(
-                np.array([(1 << 32) // p for p in tgt], dtype=np.uint32))
-            self.rs_qd_mod = jnp.asarray(
-                np.array([qd % p for p in tgt], dtype=np.uint32))
-            rmod = [(1 << 32) % p for p in tgt]
-            self.rs_rmod = jnp.asarray(np.array(rmod, dtype=np.uint32))
-            self.rs_rmod_sh = jnp.asarray(np.array(
-                [(r << 32) // p for r, p in zip(rmod, tgt)], dtype=np.uint32))
-            qdi = [nt.mod_inverse(qd % p, p) for p in tgt]
-            self.rs_qdinv = jnp.asarray(np.array(qdi, dtype=np.uint32))
-            self.rs_qdinv_sh = jnp.asarray(np.array(
-                [(v << 32) // p for v, p in zip(qdi, tgt)], dtype=np.uint32))
+        # --- NTT backend tables (shared full-chain buffers) ---
+        if backend.startswith("pallas"):
+            pk = ntt.pallas_tables()
+            self.pk = pk
+            self.rows_q = jnp.asarray(np.arange(l, dtype=np.int32))
+            self.rows_ext = jnp.asarray(ext_rows.astype(np.int32))
+            self.rows_sp = jnp.asarray(sprows.astype(np.int32))
+        else:
+            self.t_psi = ntt.psi
+            self.t_psi_sh = ntt.psi_sh
+            self.t_ipsi = ntt.ipsi
+            self.t_ipsi_sh = ntt.ipsi_sh
+            self.t_ninv = ntt.n_inv
+            self.t_ninv_sh = ntt.n_inv_sh
+        self.t_p = ntt.p
+
+        # --- rescale tables: one composite rescale drops `comp` primes
+        #     q[l-1], q[l-2], ... in sequence ---
+        if l - self.comp >= P.base_limbs:
+            steps = []
+            for i in range(self.comp):
+                cur = l - i                     # limb count before this drop
+                qd = q[cur - 1]
+                rinv = nt.mod_inverse((1 << 32) % qd, qd)
+                tgt = q[: cur - 1]
+                rmod = [(1 << 32) % p for p in tgt]
+                qdi = [nt.mod_inverse(qd % p, p) for p in tgt]
+                steps.append((
+                    jnp.uint32(rinv),
+                    jnp.uint32((rinv << 32) // qd),
+                    jnp.uint32(qd),
+                    jnp.uint32(qd // 2),
+                    jnp.asarray(np.array([(1 << 32) // p for p in tgt],
+                                         dtype=np.uint32)),
+                    jnp.asarray(np.array([qd % p for p in tgt],
+                                         dtype=np.uint32)),
+                    jnp.asarray(np.array(rmod, dtype=np.uint32)),
+                    jnp.asarray(np.array(
+                        [(r << 32) // p for r, p in zip(rmod, tgt)],
+                        dtype=np.uint32)),
+                    jnp.asarray(np.array(qdi, dtype=np.uint32)),
+                    jnp.asarray(np.array(
+                        [(v << 32) // p for v, p in zip(qdi, tgt)],
+                        dtype=np.uint32)),
+                ))
+            self.rs_steps = steps
 
         # --- keyswitch digit tables ---
         alpha = P.alpha
@@ -197,7 +227,8 @@ class _LevelTables:
         # CKKS noise) — same design as OpenFHE ApproxSwitchCRTBasis.
 
     # ---- pytree protocol: arrays traced, structure static ----
-    _STATIC = ("l", "ndig", "digits", "ext_primes", "nq", "ksp")
+    _STATIC = ("l", "ndig", "digits", "ext_primes", "nq", "ksp",
+               "comp", "backend")
 
     def tree_flatten(self):
         keys = tuple(sorted(k for k in self.__dict__ if k not in self._STATIC))
@@ -232,6 +263,46 @@ jax.tree_util.register_pytree_node(
 
 
 # ===================== device kernels (pure functions) =====================
+#
+# NTT dispatch: every kernel below reaches the transform through these four
+# helpers, which pick the Pallas fused-stage kernels (TPU; 'pallas-interpret'
+# for CPU-interpreted tests) or the stage-unrolled XLA path based on the
+# static T.backend.  Row sets: 'q' = chain prefix [0, k), 'ext' = q rows of
+# the level plus the special primes, 'sp' = special primes only.
+
+
+def _fwd_q(x, T: "_LevelTables", k: int):
+    if T.backend.startswith("pallas"):
+        return ntt_fwd_pallas(x, T.pk, T.rows_q[:k],
+                              interpret=T.backend == "pallas-interpret")
+    return ntt_fwd_t(x, T.t_p[:k], T.t_psi[:k], T.t_psi_sh[:k])
+
+
+def _inv_q(x, T: "_LevelTables", lo: int, hi: int):
+    if T.backend.startswith("pallas"):
+        return ntt_inv_pallas(x, T.pk, T.rows_q[lo:hi],
+                              interpret=T.backend == "pallas-interpret")
+    return ntt_inv_t(x, T.t_p[lo:hi], T.t_ipsi[lo:hi], T.t_ipsi_sh[lo:hi],
+                     T.t_ninv[lo:hi], T.t_ninv_sh[lo:hi])
+
+
+def _fwd_ext(x, T: "_LevelTables"):
+    if T.backend.startswith("pallas"):
+        return ntt_fwd_pallas(x, T.pk, T.rows_ext,
+                              interpret=T.backend == "pallas-interpret")
+    l, nq, ksp = T.l, T.nq, T.ksp
+    cat = lambda t: jnp.concatenate([t[:l], t[nq:nq + ksp]], axis=0)
+    return ntt_fwd_t(x, cat(T.t_p), cat(T.t_psi), cat(T.t_psi_sh))
+
+
+def _inv_sp(x, T: "_LevelTables"):
+    if T.backend.startswith("pallas"):
+        return ntt_inv_pallas(x, T.pk, T.rows_sp,
+                              interpret=T.backend == "pallas-interpret")
+    nq, ksp = T.nq, T.ksp
+    s = slice(nq, nq + ksp)
+    return ntt_inv_t(x, T.t_p[s], T.t_ipsi[s], T.t_ipsi_sh[s],
+                     T.t_ninv[s], T.t_ninv_sh[s])
 
 
 def _k_add(a, b, p):
@@ -276,23 +347,29 @@ def _k_const_mul(a, w, w_sh, p):
 
 
 def _k_rescale(data, T: _LevelTables):
-    """Drop last limb: (c - lift([c]_{q_last})) * q_last^{-1}."""
+    """Composite rescale: drop the last T.comp primes in one fused op.
+
+    Per dropped prime q_d: (c - lift([c]_{q_d})) * q_d^{-1} on the
+    remaining rows (OpenFHE ModReduce semantics, one level = comp primes)."""
     l = data.shape[1]
-    last = data[:, l - 1:l, :]                       # [k,1,n] NTT Mont
-    lc = ntt_inv_t(last, T.q_p[l - 1:l], T.q_ipsi[l - 1:l],
-                   T.q_ipsi_sh[l - 1:l], T.q_ninv[l - 1:l],
-                   T.q_ninv_sh[l - 1:l])
-    v = shoup_mul(lc, T.rs_rinv, T.rs_rinv_sh, T.rs_qd)   # plain [k,1,n]
-    big = v > T.rs_half
-    tgt_p = T.q_p[: l - 1].reshape(1, -1, 1)
-    r = barrett_reduce_u32(v, tgt_p, T.rs_pbar.reshape(1, -1, 1))
-    r = jnp.where(big, sub_mod(r, T.rs_qd_mod.reshape(1, -1, 1), tgt_p), r)
-    rm = shoup_mul(r, T.rs_rmod.reshape(1, -1, 1),
-                   T.rs_rmod_sh.reshape(1, -1, 1), tgt_p)   # to Mont
-    rn = ntt_fwd_t(rm, T.q_p[: l - 1], T.q_psi[: l - 1], T.q_psi_sh[: l - 1])
-    diff = sub_mod(data[:, : l - 1, :], rn, tgt_p)
-    return shoup_mul(diff, T.rs_qdinv.reshape(1, -1, 1),
-                     T.rs_qdinv_sh.reshape(1, -1, 1), tgt_p)
+    for i in range(T.comp):
+        cur = l - i
+        (rinv, rinv_sh, qd, half, pbar, qd_mod,
+         rmod, rmod_sh, qdinv, qdinv_sh) = T.rs_steps[i]
+        last = data[:, cur - 1:cur, :]               # [k,1,n] NTT Mont
+        lc = _inv_q(last, T, cur - 1, cur)
+        v = shoup_mul(lc, rinv, rinv_sh, qd)         # plain [k,1,n]
+        big = v > half
+        tgt_p = T.q_p[: cur - 1].reshape(1, -1, 1)
+        r = barrett_reduce_u32(v, tgt_p, pbar.reshape(1, -1, 1))
+        r = jnp.where(big, sub_mod(r, qd_mod.reshape(1, -1, 1), tgt_p), r)
+        rm = shoup_mul(r, rmod.reshape(1, -1, 1),
+                       rmod_sh.reshape(1, -1, 1), tgt_p)   # to Mont
+        rn = _fwd_q(rm, T, cur - 1)
+        diff = sub_mod(data[:, : cur - 1, :], rn, tgt_p)
+        data = shoup_mul(diff, qdinv.reshape(1, -1, 1),
+                         qdinv_sh.reshape(1, -1, 1), tgt_p)
+    return data
 
 
 def _k_decompose(cx, T: _LevelTables):
@@ -301,8 +378,8 @@ def _k_decompose(cx, T: _LevelTables):
     Returns ext digits stacked [ndig, l+ksp, n] in NTT+Mont domain
     (EvalFastRotationPrecompute equivalent)."""
     l = cx.shape[0]
-    cc = ntt_inv_t(cx, T.q_p, T.q_ipsi, T.q_ipsi_sh, T.q_ninv, T.q_ninv_sh)
-    exts = []
+    cc = _inv_q(cx, T, 0, l)
+    accs = []
     for j, dig in enumerate(T.digits):
         x = cc[dig[0]: dig[-1] + 1]                  # [dj, n] Mont coeff
         w, wsh = T.dig_in[j]
@@ -318,9 +395,9 @@ def _k_decompose(cx, T: _LevelTables):
             acc = term if acc is None else add_mod(acc, term, pe)
         # exact copies for in-digit rows (consistent: offset ≡ 0 mod them)
         acc = acc.at[dig[0]: dig[-1] + 1].set(x)
-        ext = ntt_fwd_t(acc, T.ext_p, T.ext_psi, T.ext_psi_sh)
-        exts.append(ext)
-    return jnp.stack(exts)
+        accs.append(acc)
+    # one batched forward NTT over all digits' extended bases
+    return _fwd_ext(jnp.stack(accs), T)
 
 
 def _k_ks_inner(exts, ksk, T: _LevelTables):
@@ -340,8 +417,7 @@ def _k_moddown(acc, T: _LevelTables):
     """[k, l+ksp, n] NTT Mont -> [k, l, n]: (x - lift([x]_P)) * P^{-1}."""
     l = T.l
     spv = acc[:, l:, :]
-    spc = ntt_inv_t(spv, T.sp_p, T.sp_ipsi, T.sp_ipsi_sh,
-                    T.sp_ninv, T.sp_ninv_sh)          # [k, ksp, n] Mont coeff
+    spc = _inv_sp(spv, T)                             # [k, ksp, n] Mont coeff
     w, wsh = T.md_in
     xhat = shoup_mul(spc, w.reshape(1, -1, 1), wsh.reshape(1, -1, 1),
                      T.sp_p.reshape(1, -1, 1))        # plain
@@ -352,7 +428,7 @@ def _k_moddown(acc, T: _LevelTables):
         term = shoup_mul(xhat[:, a:a + 1, :], Cw[a].reshape(1, -1, 1),
                          Csh[a].reshape(1, -1, 1), qp)  # [k, l, n] Mont
         conv = term if conv is None else add_mod(conv, term, qp)
-    convn = ntt_fwd_t(conv, T.q_p, T.q_psi, T.q_psi_sh)
+    convn = _fwd_q(conv, T, l)
     diff = sub_mod(acc[:, :l, :], convn, qp)
     return shoup_mul(diff, T.md_pinv.reshape(1, -1, 1),
                      T.md_pinv_sh.reshape(1, -1, 1), qp)
@@ -439,10 +515,12 @@ class CkksContext:
     def __init__(self, cfg: CkksConfig):
         self.cfg = cfg
         self.params = CkksParams(cfg)
+        self.backend = _resolve_backend(cfg.ntt_backend)
         P = self.params
         self.n = P.n
         self.delta = float(2 ** cfg.scale_bits)
         self.keygen = KeyGenerator(P)
+        self.keygen.backend = self.backend
         self.encryptor = Encryptor(P, self.keygen.public_key)
         self.decryptor = Decryptor(P, self.keygen.sk)
         self.relin_key = jnp.asarray(self.keygen.gen_relin_key())
@@ -456,7 +534,7 @@ class CkksContext:
     # ---------------- tables ----------------
     def tables(self, l: int) -> _LevelTables:
         if l not in self._tables:
-            T = _LevelTables(self.params, l)
+            T = _LevelTables(self.params, l, self.backend)
             npi_rows = np.concatenate([
                 np.arange(l), np.arange(self.params.nq,
                                         self.params.nq + self.params.num_special)])
@@ -545,7 +623,7 @@ class CkksContext:
         dev = shoup_mul(dev, jnp.asarray(rmod).reshape(-1, 1),
                         jnp.asarray(rsh).reshape(-1, 1),
                         T.q_p.reshape(-1, 1))
-        dev = ntt_fwd_t(dev, T.q_p, T.q_psi, T.q_psi_sh)
+        dev = _fwd_q(dev, T, limbs)
         pt = Plaintext(dev, float(scale), slots)
         self._pt_cache[key] = pt
         return pt
@@ -564,15 +642,16 @@ class CkksContext:
 
     # ---------------- rescale / level management ----------------
     def rescale(self, ct: Ciphertext) -> Ciphertext:
-        """Composite rescale: drop `comp` primes (one level)."""
-        for _ in range(self.params.comp):
-            assert ct.limbs > self.params.base_limbs, \
-                "cannot rescale below base limbs"
-            T = self.tables(ct.limbs)
-            dropped = float(self.params.q[ct.limbs - 1])
-            data = _kj_rescale(ct.data, T)
-            ct = Ciphertext(data, ct.scale / dropped, 1, ct.slots)
-        return ct
+        """Composite rescale: drop `comp` primes (one level, one kernel)."""
+        comp = self.params.comp
+        assert ct.limbs - comp >= self.params.base_limbs, \
+            "cannot rescale below base limbs"
+        T = self.tables(ct.limbs)
+        dropped = 1.0
+        for i in range(comp):
+            dropped *= float(self.params.q[ct.limbs - 1 - i])
+        data = _kj_rescale(ct.data, T)
+        return Ciphertext(data, ct.scale / dropped, 1, ct.slots)
 
     def level_reduce(self, ct: Ciphertext, target_limbs: int) -> Ciphertext:
         assert target_limbs <= ct.limbs

@@ -166,6 +166,15 @@ class KeyGenerator:
                 wsh[j, r] = (c << 32) // p
 
         rmod, rsh = self._ksk_consts
+        backend = getattr(self, "backend", "xla")
+        if backend.startswith("pallas"):
+            rows = jnp.asarray(np.arange(nrows, dtype=np.int32))
+            return _ksk_kernel_pallas(
+                self._s_red, sp_red, jnp.asarray(a_all),
+                jnp.asarray(e_red), jnp.asarray(w), jnp.asarray(wsh),
+                rmod, rsh, P.ntt.p, P.mont_neg_p_inv,
+                P.ntt.pallas_tables(), rows,
+                backend == "pallas-interpret")
         return _ksk_kernel(self._s_red, sp_red, jnp.asarray(a_all),
                            jnp.asarray(e_red), jnp.asarray(w),
                            jnp.asarray(wsh), rmod, rsh, P.ntt.p,
@@ -199,15 +208,15 @@ def _negacyclic_square_int(s: np.ndarray, p: int, n: int) -> np.ndarray:
     return np.where(s2 > p // 2, s2 - p, s2)
 
 
-def _ksk_kernel_impl(s_red, sp_red, a, e_red, w, wsh, rmod, rsh,
-                     p, psi, psi_sh, npi):
+def _ksk_kernel_body(s_red, sp_red, a, e_red, w, wsh, rmod, rsh, p, npi,
+                     fwd):
     """Device-side KSK assembly: b = e - a*s + P*W_j*s' (all NTT+Mont).
 
     s_red/sp_red: [nrows, n] plain residues; a: [dnum, nrows, n] uniform
     (treated as Montgomery-domain, still uniform); e_red: [dnum, nrows, n];
-    w/wsh: [dnum, nrows] Shoup pairs for P*W_j folded with R."""
+    w/wsh: [dnum, nrows] Shoup pairs for P*W_j folded with R; fwd: the
+    forward-NTT backend closure."""
     import jax.numpy as jnp
-    from .ntt import ntt_fwd_t
     from .rns import mont_mul, shoup_mul, add_mod, sub_mod
 
     p1 = p.reshape(-1, 1)
@@ -215,18 +224,36 @@ def _ksk_kernel_impl(s_red, sp_red, a, e_red, w, wsh, rmod, rsh,
     npi2 = npi.reshape(1, -1, 1)
     to_mont1 = lambda x: shoup_mul(x, rmod.reshape(-1, 1),
                                    rsh.reshape(-1, 1), p1)
-    s_ntt = ntt_fwd_t(to_mont1(s_red), p, psi, psi_sh)
-    sp_ntt = ntt_fwd_t(to_mont1(sp_red), p, psi, psi_sh)
+    s_ntt = fwd(to_mont1(s_red))
+    sp_ntt = fwd(to_mont1(sp_red))
     e_m = shoup_mul(e_red, rmod.reshape(1, -1, 1), rsh.reshape(1, -1, 1), p2)
-    e_ntt = ntt_fwd_t(e_m, p, psi, psi_sh)
+    e_ntt = fwd(e_m)
     term = shoup_mul(sp_ntt[None], w[:, :, None], wsh[:, :, None], p2)
     asl = mont_mul(a, s_ntt[None], p2, npi2)
     b = add_mod(sub_mod(e_ntt, asl, p2), term, p2)
     return jnp.stack([b, a], axis=1)                   # [dnum, 2, nrows, n]
 
 
+def _ksk_kernel_impl(s_red, sp_red, a, e_red, w, wsh, rmod, rsh,
+                     p, psi, psi_sh, npi):
+    from .ntt import ntt_fwd_t
+    return _ksk_kernel_body(
+        s_red, sp_red, a, e_red, w, wsh, rmod, rsh, p, npi,
+        lambda x: ntt_fwd_t(x, p, psi, psi_sh))
+
+
+def _ksk_kernel_pallas_impl(s_red, sp_red, a, e_red, w, wsh, rmod, rsh,
+                            p, npi, pk, rows, interpret):
+    from .pallas_ntt import ntt_fwd_pallas
+    return _ksk_kernel_body(
+        s_red, sp_red, a, e_red, w, wsh, rmod, rsh, p, npi,
+        lambda x: ntt_fwd_pallas(x, pk, rows, interpret=interpret))
+
+
 import jax as _jax  # noqa: E402
 _ksk_kernel = _jax.jit(_ksk_kernel_impl)
+_ksk_kernel_pallas = _jax.jit(_ksk_kernel_pallas_impl,
+                              static_argnums=(12,))
 
 
 class Encryptor:

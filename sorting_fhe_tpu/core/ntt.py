@@ -58,6 +58,20 @@ class NttContext:
         self.ipsi_sh = jnp.asarray(ipsi_sh)
         self.n_inv = jnp.asarray(n_inv)
         self.n_inv_sh = jnp.asarray(n_inv_sh)
+        # host copies retained for the Pallas pack builder
+        self._host = dict(psi=psi, psi_sh=psi_sh, ipsi=ipsi,
+                          ipsi_sh=ipsi_sh, n_inv=n_inv, n_inv_sh=n_inv_sh)
+        self._pallas = None
+
+    def pallas_tables(self):
+        """Whole-chain Pallas twiddle packs (built on first use)."""
+        if self._pallas is None:
+            from .pallas_ntt import build_pallas_tables
+            h = self._host
+            self._pallas = build_pallas_tables(
+                self.primes, self.n, h["psi"], h["psi_sh"], h["ipsi"],
+                h["ipsi_sh"], h["n_inv"], h["n_inv_sh"])
+        return self._pallas
 
 
 def _bcast(w, extra_dims):

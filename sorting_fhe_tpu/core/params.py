@@ -48,6 +48,9 @@ class CkksConfig:
     seed: int = 2024
     sigma: float = 3.19           # error stddev
     batch_size: int | None = None  # default n/2 slots
+    # NTT backend: 'auto' (pallas on TPU, xla elsewhere), 'xla', 'pallas',
+    # or 'pallas-interpret' (CPU-interpreted Pallas, for equality tests)
+    ntt_backend: str = "auto"
 
 
 # legacy alias: minimum base limbs (actual value is params.base_limbs)
