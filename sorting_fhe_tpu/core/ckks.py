@@ -495,6 +495,36 @@ def _kj_fast_rotate(data, precomp, ksk, perm, T):
     return jnp.concatenate([c0, d[1:2]], axis=0)
 
 
+@jax.jit
+def _kj_mod_raise(data, w, wsh, Cw, Csh, dinv_f, DmodR, DmodR_sh,
+                  T_lo, T_hi):
+    """ModRaise kernel: [k, l0, n] NTT+Mont at modulus D = prod(q[:l0]) ->
+    [k, nq, n] at the full chain, with centered lift.
+
+    CRT extension with a float32 correction count: the plain digit values
+    xhat_i determine u = round(sum xhat_i / d_i); subtracting u*D centers
+    the lift in (-D/2, D/2).  A float32 misround shifts one coefficient by
+    +-D — an integer multiple of D, absorbed by EvalMod's periodic sine
+    (core/bootstrap.py)."""
+    l0 = data.shape[1]
+    x = _inv_q(data, T_lo, 0, l0)                    # [k, l0, n] Mont coeff
+    dp = T_lo.q_p[:l0].reshape(1, -1, 1)
+    xhat = shoup_mul(x, w.reshape(1, -1, 1), wsh.reshape(1, -1, 1), dp)
+    y = jnp.sum(xhat.astype(jnp.float32) * dinv_f.reshape(1, -1, 1), axis=1)
+    corr = jnp.round(y).astype(jnp.uint32)           # [k, n], <= l0
+    qp = T_hi.q_p.reshape(1, -1, 1)
+    acc = None
+    for i in range(l0):
+        term = shoup_mul(xhat[:, i:i + 1, :], Cw[i].reshape(1, -1, 1),
+                         Csh[i].reshape(1, -1, 1), qp)
+        acc = term if acc is None else add_mod(acc, term, qp)
+    corr_term = shoup_mul(corr[:, None, :], DmodR.reshape(1, -1, 1),
+                          DmodR_sh.reshape(1, -1, 1), qp)
+    acc = sub_mod(acc, corr_term, qp)
+    acc = acc.at[:, :l0, :].set(x)                   # in-digit rows exact
+    return _fwd_q(acc, T_hi, acc.shape[1])
+
+
 _kj_add = jax.jit(_k_add)
 _kj_sub = jax.jit(_k_sub)
 _kj_pt_mul = jax.jit(_k_pt_mul)
@@ -571,7 +601,7 @@ class CkksContext:
         data = self.encryptor.encrypt_coeffs(coeffs)
         return Ciphertext(jnp.asarray(data), self.delta, 1, slots)
 
-    def decrypt(self, ct: Ciphertext) -> np.ndarray:
+    def decrypt(self, ct: Ciphertext, complex_out: bool = False) -> np.ndarray:
         # enough limbs that prod(q) > value * scale * 2^20 headroom
         bits_needed = np.log2(max(ct.scale, 1.0)) + 24
         need = 0
@@ -586,7 +616,8 @@ class CkksContext:
         coeffs = self.decryptor.decrypt_to_coeffs(
             data, need, max_limbs=need)
         return encoding.decode_real(coeffs.astype(np.float64), self.n,
-                                    ct.scale, ct.slots)
+                                    ct.scale, ct.slots,
+                                    complex_out=complex_out)
 
     def zero_like(self, ct: Ciphertext) -> Ciphertext:
         return Ciphertext(jnp.zeros_like(ct.data), ct.scale, ct.noise_deg,
@@ -602,8 +633,10 @@ class CkksContext:
                        slots: int | None = None) -> Plaintext:
         """MakeCKKSPackedPlaintext equivalent (NTT+Mont, device)."""
         slots = slots or self.params.num_slots
-        v = np.asarray(values, dtype=np.float64)
-        key = (hashlib.md5(v.tobytes()).hexdigest(), limbs,
+        v = np.asarray(values)
+        if not np.iscomplexobj(v):
+            v = v.astype(np.float64)
+        key = (hashlib.md5(v.tobytes()).hexdigest(), str(v.dtype), limbs,
                float(scale), slots)
         if key in self._pt_cache:
             return self._pt_cache[key]
@@ -887,6 +920,118 @@ class CkksContext:
         out = _kj_fast_rotate(ct.data, precomp, self.rot_keys[kk], perm, T)
         self.rot_count += 1
         return replace(ct, data=out)
+
+    def rotate_raw(self, ct: Ciphertext, k: int) -> Ciphertext:
+        """Rotation WITHOUT the slots-period shortcut: applies the Galois
+        automorphism even when k is a multiple of ct.slots.  Required by
+        bootstrapping's subring trace, which rotates by multiples of the
+        slot period to act on the mod-raise error (the message part is
+        period-invariant but the error is dense)."""
+        kk = k % (self.n // 2)
+        if kk == 0:
+            return ct
+        assert kk in self.rot_keys, f"missing rotation key {k}"
+        T = self.tables(ct.limbs)
+        precomp = _kj_decompose(ct.data[1], T)
+        out = _kj_fast_rotate(ct.data, precomp, self.rot_keys[kk],
+                              self._perm(kk), T)
+        self.rot_count += 1
+        return replace(ct, data=out)
+
+    # ---------------- conjugation ----------------
+    def gen_conj_key(self):
+        """Galois key for complex conjugation (element 2n-1)."""
+        if getattr(self, "conj_key", None) is None:
+            self.conj_key = jnp.asarray(
+                self.keygen.gen_rotation_key(2 * self.n - 1))
+
+    def conjugate(self, ct: Ciphertext) -> Ciphertext:
+        """EvalConjugate: slot-wise complex conjugation (sigma_{2n-1})."""
+        assert getattr(self, "conj_key", None) is not None, \
+            "call gen_conj_key() first"
+        ct = self._ensure_deg1(ct)
+        if not hasattr(self, "_conj_perm"):
+            self._conj_perm = jnp.asarray(
+                encoding.automorphism_eval_perm(
+                    self.n, 2 * self.n - 1).astype(np.int32))
+        T = self.tables(ct.limbs)
+        precomp = _kj_decompose(ct.data[1], T)
+        out = _kj_fast_rotate(ct.data, precomp, self.conj_key,
+                              self._conj_perm, T)
+        self.rot_count += 1
+        return replace(ct, data=out)
+
+    # ---------------- monomial multiplication (free: no key, no level) ----
+    def mult_monomial(self, ct: Ciphertext, power: int) -> Ciphertext:
+        """Multiply by X^power (power mod 2n).  Multiplying by X^{n/2}
+        multiplies every slot by i, X^{3n/2} by -i — noiseless, depth-free
+        complex bookkeeping for bootstrap's real/imag split."""
+        power %= 2 * self.n
+        if power == 0:
+            return ct
+        key = ("mono", power, ct.limbs)
+        if key not in self._pt_cache:
+            neg = power >= self.n
+            k = power - self.n if neg else power
+            limbs = ct.limbs
+            rows = np.zeros((limbs, self.n), dtype=np.uint32)
+            for i in range(limbs):
+                p = self.params.q[i]
+                # Montgomery form of +-1 at coefficient k
+                v = ((1 << 32) % p)
+                rows[i, k] = (p - v) if neg else v
+            T = self.tables(limbs)
+            dev = _fwd_q(jnp.asarray(rows), T, limbs)
+            self._pt_cache[key] = dev
+        T = self.tables(ct.limbs)
+        d = _kj_pt_mul(ct.data, self._pt_cache[key], T.q_p, T.q_npi)
+        return replace(ct, data=d)
+
+    # ---------------- mod raise (bootstrap step 1) ----------------
+    def mod_raise(self, ct: Ciphertext) -> Ciphertext:
+        """Re-interpret a low-level ciphertext at the full modulus chain.
+
+        The output decrypts to m + D*I for the small integer polynomial I
+        (|I| bounded by the secret's Hamming weight), D = prod(q[:limbs]).
+        First step of EvalBootstrap (OpenFHE EvalBootstrap's ModRaise;
+        consumed by /root/reference/src/sort_algo.h:1436-1438 et al.)."""
+        l0 = ct.limbs
+        nq = self.params.nq
+        assert l0 < nq, "already at full level"
+        key = ("raise", l0)
+        if key not in self._pt_cache:
+            q = self.params.q
+            R = 1 << 32
+            D = 1
+            for i in range(l0):
+                D *= q[i]
+            w = np.empty(l0, dtype=np.uint32)
+            wsh = np.empty(l0, dtype=np.uint32)
+            Cw = np.zeros((l0, nq), dtype=np.uint32)
+            Csh = np.zeros_like(Cw)
+            dinv = np.empty(l0, dtype=np.float32)
+            for i in range(l0):
+                d = q[i]
+                dh = D // d
+                c = nt.mod_inverse(dh % d, d) * nt.mod_inverse(R % d, d) % d
+                w[i] = c
+                wsh[i] = (c << 32) // d
+                dinv[i] = np.float32(1.0 / d)
+                for r in range(nq):
+                    pr = q[r]
+                    cc = (dh % pr) * (R % pr) % pr
+                    Cw[i, r] = cc
+                    Csh[i, r] = (cc << 32) // pr
+            DmodR = np.array([(D % p) * (R % p) % p for p in q],
+                             dtype=np.uint32)
+            DmodR_sh = np.array([(int(v) << 32) // p
+                                 for v, p in zip(DmodR, q)], dtype=np.uint32)
+            self._pt_cache[key] = tuple(map(jnp.asarray, (
+                w, wsh, Cw, Csh, dinv, DmodR, DmodR_sh)))
+        w, wsh, Cw, Csh, dinv, DmodR, DmodR_sh = self._pt_cache[key]
+        data = _kj_mod_raise(ct.data, w, wsh, Cw, Csh, dinv, DmodR, DmodR_sh,
+                             self.tables(l0), self.tables(nq))
+        return Ciphertext(data, ct.scale, 1, ct.slots)
 
     # ---------------- client-side debug ----------------
     def decrypt_debug(self, ct: Ciphertext, count: int | None = None):

@@ -39,19 +39,21 @@ def _twist(n: int) -> np.ndarray:
 
 def encode_real(values: np.ndarray, n: int, scale: float,
                 slots: int | None = None) -> np.ndarray:
-    """Real vector -> integer coefficient polynomial (float64 array).
+    """Real or complex vector -> integer coefficient polynomial (float64).
 
     values: length <= slots (zero padded); replicated to fill n/2 slots.
-    Returns rounded signed coefficients at the given scale.
+    Returns rounded signed coefficients at the given scale.  Complex slot
+    vectors are supported (the coefficient polynomial is always real):
+    bootstrapping's CoeffsToSlots matrices are complex (core/bootstrap.py).
     """
     half = n // 2
     slots = slots or half
     assert half % slots == 0, (slots, half)
-    v = np.zeros(slots, dtype=np.float64)
-    vals = np.asarray(values, dtype=np.float64)
+    v = np.zeros(slots, dtype=np.complex128)
+    vals = np.asarray(values)
     assert len(vals) <= slots, (len(vals), slots)
     v[:len(vals)] = vals
-    full = np.tile(v, half // slots).astype(np.complex128)
+    full = np.tile(v, half // slots)
 
     e = _pow5_exponents(n)
     # spectrum G over the n odd exponents: index k holds exponent 2k+1
@@ -64,11 +66,13 @@ def encode_real(values: np.ndarray, n: int, scale: float,
 
 
 def decode_real(coeffs: np.ndarray, n: int, scale: float,
-                slots: int | None = None) -> np.ndarray:
+                slots: int | None = None,
+                complex_out: bool = False) -> np.ndarray:
     """Integer/float coefficient polynomial -> real slot values.
 
     Decodes the full n/2 slots and returns the first `slots` entries (the
-    SetSlots(s) view of a periodic plaintext).
+    SetSlots(s) view of a periodic plaintext).  complex_out keeps the
+    imaginary parts (bootstrap intermediates are complex-valued).
     """
     half = n // 2
     slots = slots or half
@@ -76,6 +80,8 @@ def decode_real(coeffs: np.ndarray, n: int, scale: float,
     G = np.fft.ifft(t) * n
     e = _pow5_exponents(n)
     full = G[(e - 1) // 2]
+    if complex_out:
+        return full[:slots] / scale
     return np.real(full[:slots]) / scale
 
 

@@ -106,9 +106,20 @@ def rns_to_centered_bigint(limbs: np.ndarray, primes: list[int]) -> np.ndarray:
     return np.where(acc > Q // 2, acc - Q, acc)
 
 
-def sample_ternary(n: int, rng: np.random.Generator) -> np.ndarray:
-    """Uniform ternary secret in {-1, 0, 1} (OpenFHE UNIFORM_TERNARY)."""
-    return rng.integers(-1, 2, size=n).astype(np.int64)
+def sample_ternary(n: int, rng: np.random.Generator,
+                   hw: int | None = None) -> np.ndarray:
+    """Ternary secret in {-1, 0, 1}.
+
+    hw=None: uniform ternary (OpenFHE UNIFORM_TERNARY).
+    hw=h:    sparse ternary with exactly h nonzeros (OpenFHE SPARSE_TERNARY)
+             — required by bootstrapping, where the mod-raise integer I is
+             bounded by the secret's Hamming weight (core/bootstrap.py)."""
+    if hw is None:
+        return rng.integers(-1, 2, size=n).astype(np.int64)
+    s = np.zeros(n, dtype=np.int64)
+    idx = rng.choice(n, size=hw, replace=False)
+    s[idx] = rng.choice(np.array([-1, 1], dtype=np.int64), size=hw)
+    return s
 
 
 def sample_gaussian(n: int, sigma: float, rng: np.random.Generator) -> np.ndarray:

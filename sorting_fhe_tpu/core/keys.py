@@ -62,7 +62,7 @@ class _LazySNtt(dict):
 class SecretKey:
     def __init__(self, params: CkksParams, rng: np.random.Generator):
         self.params = params
-        self.s_coeffs = sample_ternary(params.n, rng)
+        self.s_coeffs = sample_ternary(params.n, rng, params.cfg.secret_hw)
         self.s_ntt = _LazySNtt(self.s_coeffs, params.n)
 
 

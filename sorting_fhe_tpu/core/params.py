@@ -51,6 +51,9 @@ class CkksConfig:
     # NTT backend: 'auto' (pallas on TPU, xla elsewhere), 'xla', 'pallas',
     # or 'pallas-interpret' (CPU-interpreted Pallas, for equality tests)
     ntt_backend: str = "auto"
+    # secret key Hamming weight: None = uniform ternary; an int enables the
+    # sparse-ternary secret bootstrapping needs (core/bootstrap.py)
+    secret_hw: int | None = None
 
 
 # legacy alias: minimum base limbs (actual value is params.base_limbs)
