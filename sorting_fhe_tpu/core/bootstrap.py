@@ -194,6 +194,10 @@ class Bootstrapper:
         assert ct.slots == self.slots, (ct.slots, self.slots)
         ct = ctx._ensure_deg1(ct)
         base = P.base_limbs
+        if ct.limbs > base and (ct.limbs - base) % P.comp:
+            # snap to the rescale ladder
+            ct = ctx.level_reduce(
+                ct, ct.limbs - (ct.limbs - base) % P.comp)
         if ct.limbs > base:
             ct = ctx.adjust_to(ct, base, ctx.canonical_scale(base))
         ct = ctx.level_reduce(ct, min(ct.limbs, self.raise_limbs))

@@ -543,23 +543,44 @@ class CkksContext:
     """CryptoContext equivalent: params + keys + evaluator + client ops."""
 
     def __init__(self, cfg: CkksConfig):
-        self.cfg = cfg
-        self.params = CkksParams(cfg)
-        self.backend = _resolve_backend(cfg.ntt_backend)
+        self._init_common(cfg)
         P = self.params
-        self.n = P.n
-        self.delta = float(2 ** cfg.scale_bits)
         self.keygen = KeyGenerator(P)
         self.keygen.backend = self.backend
         self.encryptor = Encryptor(P, self.keygen.public_key)
         self.decryptor = Decryptor(P, self.keygen.sk)
         self.relin_key = jnp.asarray(self.keygen.gen_relin_key())
+
+    def _init_common(self, cfg: CkksConfig):
+        self.cfg = cfg
+        self.params = CkksParams(cfg)
+        self.backend = _resolve_backend(cfg.ntt_backend)
+        self.n = self.params.n
+        self.delta = float(2 ** cfg.scale_bits)
         self.rot_keys: dict[int, jnp.ndarray] = {}
         self._tables: dict[int, _LevelTables] = {}
         self._perm_cache: dict[int, jnp.ndarray] = {}
         self._pt_cache: dict = {}
         self.mult_count = 0
         self.rot_count = 0
+
+    @classmethod
+    def for_evaluation(cls, cfg: CkksConfig, public_key, relin_key,
+                       rot_keys: dict, conj_key=None) -> "CkksContext":
+        """Blind-evaluation (server-side) context: public material only,
+        no secret key.  The TPU analogue of the reference's deserialized
+        CryptoContext (/root/reference/src/sort.h:31-74): the server can
+        encrypt, evaluate, and serialize — decrypt() raises."""
+        self = cls.__new__(cls)
+        self._init_common(cfg)
+        self.keygen = None
+        self.encryptor = Encryptor(self.params, tuple(public_key))
+        self.decryptor = None
+        self.relin_key = jnp.asarray(relin_key)
+        self.rot_keys = {int(k): jnp.asarray(v) for k, v in rot_keys.items()}
+        if conj_key is not None:
+            self.conj_key = jnp.asarray(conj_key)
+        return self
 
     # ---------------- tables ----------------
     def tables(self, l: int) -> _LevelTables:
@@ -583,6 +604,10 @@ class CkksContext:
         for k in indices:
             kk = k % half
             if kk and kk not in self.rot_keys:
+                if self.keygen is None:
+                    raise KeyError(
+                        f"evaluation-only context is missing rotation key "
+                        f"{k}: regenerate and reserialize with it")
                 g = encoding.galois_element_for_rotation(self.n, kk)
                 self.rot_keys[kk] = jnp.asarray(self.keygen.gen_rotation_key(g))
 
@@ -602,6 +627,8 @@ class CkksContext:
         return Ciphertext(jnp.asarray(data), self.delta, 1, slots)
 
     def decrypt(self, ct: Ciphertext, complex_out: bool = False) -> np.ndarray:
+        if self.decryptor is None:
+            raise RuntimeError("evaluation-only context has no secret key")
         # enough limbs that prod(q) > value * scale * 2^20 headroom
         bits_needed = np.log2(max(ct.scale, 1.0)) + 24
         need = 0
@@ -739,6 +766,12 @@ class CkksContext:
                                    self.canonical_scale(a.limbs - comp))
                 b = self.adjust_to(b, b.limbs - comp,
                                    self.canonical_scale(b.limbs - comp))
+                if (a.limbs != b.limbs
+                        or abs(a.scale / b.scale - 1) > SCALE_TOL):
+                    # adjust_to's tolerance early-return can leave the two
+                    # at different limb counts; one more pass equalizes
+                    # (terminates: limbs now differ, first branch exact)
+                    return self._match_add(a, b)
         assert abs(a.scale / b.scale - 1) < SCALE_TOL, (a.scale, b.scale)
         return a, b
 
@@ -880,6 +913,19 @@ class CkksContext:
         data = _kj_const_mul(a.data, w, wsh, T.q_p)
         return Ciphertext(data, a.scale * self.delta, 2, a.slots)
 
+    def mult_int(self, a: Ciphertext, m: int) -> Ciphertext:
+        """Multiply the message by a small integer WITHOUT consuming scale
+        or depth (noise grows by |m|).  This is how OpenFHE realises the
+        Chebyshev doubling 2*T_a*T_b: EvalAdd(prod, prod) instead of a
+        scalar EvalMult — depth-free (Paterson-Stockmeyer inner nodes)."""
+        if m == 1:
+            return a
+        if m == 0:
+            return self.zero_like(a)
+        w, wsh = self._scalar_limb_consts(m, a.limbs)
+        T = self.tables(a.limbs)
+        return replace(a, data=_kj_const_mul(a.data, w, wsh, T.q_p))
+
     # ---------------- relinearization ----------------
     def relinearize(self, ct: Ciphertext) -> Ciphertext:
         if ct.k == 2:
@@ -942,6 +988,9 @@ class CkksContext:
     def gen_conj_key(self):
         """Galois key for complex conjugation (element 2n-1)."""
         if getattr(self, "conj_key", None) is None:
+            if self.keygen is None:
+                raise KeyError("evaluation-only context is missing the "
+                               "conjugation key")
             self.conj_key = jnp.asarray(
                 self.keygen.gen_rotation_key(2 * self.n - 1))
 

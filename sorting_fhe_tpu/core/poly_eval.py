@@ -71,10 +71,16 @@ class _SymEval:
     def mul(self, a, b):
         if _is_ct(a) and _is_ct(b):
             return self.ctx.mult(a, b)
-        if _is_ct(a):
-            return self.ctx.mult_scalar(a, float(b))
         if _is_ct(b):
-            return self.ctx.mult_scalar(b, float(a))
+            a, b = b, a
+        if _is_ct(a):
+            # small exact integers (the PS doubling constant 2, parity
+            # flips, ...) are depth-free: message *= m with no rescale —
+            # mirrors OpenFHE's EvalAdd(prod, prod) doubling
+            f = float(b)
+            if f.is_integer() and abs(f) <= 16:
+                return self.ctx.mult_int(a, int(f))
+            return self.ctx.mult_scalar(a, f)
         return a * b
 
 

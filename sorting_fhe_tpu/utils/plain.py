@@ -118,6 +118,9 @@ class PlainContext:
     def mult_scalar(self, a, c):
         return replace(a, data=a.data * float(c))
 
+    def mult_int(self, a, m):
+        return replace(a, data=a.data * int(m))
+
     def square(self, a):
         self.mult_count += 1
         return replace(a, data=a.data * a.data)
