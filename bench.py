@@ -71,7 +71,9 @@ def ntt_bench(ring_log: int):
 
     n = 1 << ring_log
     L = 64
-    primes = nt.find_ntt_primes(26, L, n)
+    # 30-bit primes: dense enough (≡1 mod 2n candidates) at every ring
+    # size up to 2^17; 26-bit primes run out above ring 2^15.
+    primes = nt.find_ntt_primes(30, L, n)
     ctx = NttContext(primes, n)
     pk = ctx.pallas_tables()
     rng = np.random.default_rng(0)

@@ -585,12 +585,18 @@ class CkksContext:
     # ---------------- tables ----------------
     def tables(self, l: int) -> _LevelTables:
         if l not in self._tables:
-            T = _LevelTables(self.params, l, self.backend)
-            npi_rows = np.concatenate([
-                np.arange(l), np.arange(self.params.nq,
-                                        self.params.nq + self.params.num_special)])
-            T.ext_npi = self.params.mont_neg_p_inv[npi_rows]
-            T.q_npi = self.params.mont_neg_p_inv[:l]
+            # ensure_compile_time_eval: tables may be built lazily while an
+            # OUTER jit is tracing (e.g. a whole sort step under one jit);
+            # without it the constants would be created as tracers and leak
+            # into this cross-call cache.
+            with jax.ensure_compile_time_eval():
+                T = _LevelTables(self.params, l, self.backend)
+                npi_rows = np.concatenate([
+                    np.arange(l),
+                    np.arange(self.params.nq,
+                              self.params.nq + self.params.num_special)])
+                T.ext_npi = self.params.mont_neg_p_inv[npi_rows]
+                T.q_npi = self.params.mont_neg_p_inv[:l]
             self._tables[l] = T
         return self._tables[l]
 
@@ -609,13 +615,17 @@ class CkksContext:
                         f"evaluation-only context is missing rotation key "
                         f"{k}: regenerate and reserialize with it")
                 g = encoding.galois_element_for_rotation(self.n, kk)
-                self.rot_keys[kk] = jnp.asarray(self.keygen.gen_rotation_key(g))
+                with jax.ensure_compile_time_eval():
+                    self.rot_keys[kk] = jnp.asarray(
+                        self.keygen.gen_rotation_key(g))
 
     def _perm(self, k: int) -> jnp.ndarray:
         if k not in self._perm_cache:
             g = encoding.galois_element_for_rotation(self.n, k)
-            self._perm_cache[k] = jnp.asarray(
-                encoding.automorphism_eval_perm(self.n, g).astype(np.int32))
+            with jax.ensure_compile_time_eval():   # may fill under outer jit
+                self._perm_cache[k] = jnp.asarray(
+                    encoding.automorphism_eval_perm(self.n, g).astype(
+                        np.int32))
         return self._perm_cache[k]
 
     # ---------------- client ops (host) ----------------
@@ -673,17 +683,20 @@ class CkksContext:
             p = self.params.q[i]
             r = np.fmod(coeffs, float(p))
             rows[i] = np.where(r < 0, r + p, r).astype(np.uint32)
-        T = self.tables(limbs)
-        dev = jnp.asarray(rows)
-        # to Montgomery then NTT, on device
-        rmod = np.array([(1 << 32) % self.params.q[i] for i in range(limbs)],
-                        dtype=np.uint32)
-        rsh = np.array([(int(r) << 32) // self.params.q[i]
-                        for i, r in enumerate(rmod)], dtype=np.uint32)
-        dev = shoup_mul(dev, jnp.asarray(rmod).reshape(-1, 1),
-                        jnp.asarray(rsh).reshape(-1, 1),
-                        T.q_p.reshape(-1, 1))
-        dev = _fwd_q(dev, T, limbs)
+        # ensure_compile_time_eval: the cache may be filled while an OUTER
+        # jit traces a whole sort step; device constants must stay concrete
+        with jax.ensure_compile_time_eval():
+            T = self.tables(limbs)
+            dev = jnp.asarray(rows)
+            # to Montgomery then NTT, on device
+            rmod = np.array([(1 << 32) % self.params.q[i]
+                             for i in range(limbs)], dtype=np.uint32)
+            rsh = np.array([(int(r) << 32) // self.params.q[i]
+                            for i, r in enumerate(rmod)], dtype=np.uint32)
+            dev = shoup_mul(dev, jnp.asarray(rmod).reshape(-1, 1),
+                            jnp.asarray(rsh).reshape(-1, 1),
+                            T.q_p.reshape(-1, 1))
+            dev = _fwd_q(dev, T, limbs)
         pt = Plaintext(dev, float(scale), slots)
         self._pt_cache[key] = pt
         return pt
@@ -1029,8 +1042,9 @@ class CkksContext:
                 # Montgomery form of +-1 at coefficient k
                 v = ((1 << 32) % p)
                 rows[i, k] = (p - v) if neg else v
-            T = self.tables(limbs)
-            dev = _fwd_q(jnp.asarray(rows), T, limbs)
+            with jax.ensure_compile_time_eval():   # may fill under outer jit
+                T = self.tables(limbs)
+                dev = _fwd_q(jnp.asarray(rows), T, limbs)
             self._pt_cache[key] = dev
         T = self.tables(ct.limbs)
         d = _kj_pt_mul(ct.data, self._pt_cache[key], T.q_p, T.q_npi)
@@ -1075,8 +1089,9 @@ class CkksContext:
                              dtype=np.uint32)
             DmodR_sh = np.array([(int(v) << 32) // p
                                  for v, p in zip(DmodR, q)], dtype=np.uint32)
-            self._pt_cache[key] = tuple(map(jnp.asarray, (
-                w, wsh, Cw, Csh, dinv, DmodR, DmodR_sh)))
+            with jax.ensure_compile_time_eval():   # may fill under outer jit
+                self._pt_cache[key] = tuple(map(jnp.asarray, (
+                    w, wsh, Cw, Csh, dinv, DmodR, DmodR_sh)))
         w, wsh, Cw, Csh, dinv, DmodR, DmodR_sh = self._pt_cache[key]
         data = _kj_mod_raise(ct.data, w, wsh, Cw, Csh, dinv, DmodR, DmodR_sh,
                              self.tables(l0), self.tables(nq))

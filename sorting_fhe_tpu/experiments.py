@@ -1,0 +1,197 @@
+"""Experiment harness: N-sweep trials with the reference's report format.
+
+Rebuild of /root/reference/comparison/run_experiments.sh: loops trials per
+(algorithm, size), runs the encrypted sort, scrapes time/error/memory and
+aggregates into N{size}_summary.txt + total_results.txt with the exact
+section layout of comparison/experimental_results/ours_hybrid1/ (so any
+tooling written against the reference's summaries parses ours unchanged).
+
+    python -m sorting_fhe_tpu.experiments --algo hybrid1 \
+        --sizes 4,8,16 --trials 3 --ring 17 --outdir results/
+
+Per-trial stdout mirrors the reference's gtest log lines
+(trials/trial_*/size_*.txt: "Execution time: ... ms", "Maximum error: ...",
+"Peak Memory (GB): ...") so run_experiments.sh-style grepping works too.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from .registry import get_params, full_config, cheap_config, security_check
+from .utils.memory import MemoryMonitor
+from .utils.testvec import vector_with_min_diff
+
+
+def _build_sorter(ctx, algo: str, N: int, p):
+    """(callable(ct) -> ct) for the requested pipeline."""
+    if algo in ("direct", "direct2n", "hybrid", "hybrid1", "hybrid2"):
+        from .models.direct_sort import DirectSort
+        ds = DirectSort(ctx, N, rot_indices=list(p.rotations))
+        cfg = p.sign_config()
+        fn = {"direct": ds.sort, "direct2n": ds.sort_2n,
+              "hybrid": ds.sort_hybrid, "hybrid1": ds.sort_hybrid1,
+              "hybrid2": ds.sort_hybrid2}[algo]
+        return lambda ct: fn(ct, cfg)
+    if algo == "mehp24":
+        from .models.mehp24 import sort_fg
+        dg = (int(np.log2(N)) + 1) // 2
+        return lambda ct: sort_fg(ctx, ct, N, dg, 2)
+    if algo == "bitonic":
+        from .models.bitonic import BitonicSort
+        bs = BitonicSort(ctx, N, rot_indices=list(p.rotations))
+        cfg = p.sign_config()
+        return lambda ct: bs.sort(ct, cfg)
+    if algo == "kway":
+        from .models.kway import KWaySorter, kway_factorization
+        k, M = kway_factorization(N)
+        ks = KWaySorter(ctx, k, M)
+        return lambda ct: ks.sort(ct)
+    raise ValueError(f"unknown algorithm {algo!r}")
+
+
+def run_trial(algo: str, N: int, ring_log: int, seed: int,
+              verbose: bool = True) -> dict:
+    """One encrypted sort; returns time/error/memory like one
+    trials/trial_*/size_*.txt of the reference."""
+    from .core.ckks import CkksContext
+
+    p = get_params(algo if algo != "direct2n" else "direct", N)
+    cfg = (full_config(p) if ring_log >= 16
+           else cheap_config(p, ring_log=ring_log))
+    mon = MemoryMonitor().start()
+    t0 = time.time()
+    ctx = CkksContext(cfg)
+    sorter = _build_sorter(ctx, algo, N, p)
+    rng = np.random.default_rng(seed)
+    v = vector_with_min_diff(N, 0, 1, 1.0 / N, rng)
+    ct = ctx.encrypt(v, slots=N)
+    setup_s = time.time() - t0
+    mon.mark("setup")
+
+    t0 = time.time()
+    out = sorter(ct)
+    np.asarray(out.data.block_until_ready()[0, 0, :4])  # device sync
+    exec_ms = (time.time() - t0) * 1000.0
+    got = ctx.decrypt(out)[:N]
+    mon.stop()
+
+    err = np.abs(got - np.sort(v))
+    max_err = float(err.max())
+    avg_err = float(err.mean())
+    mem = mon.report()
+    logqp, limit, sec_ok = security_check(cfg, ctx.params)
+    res = {
+        "algo": algo, "N": N, "ring_dim": cfg.ring_dim,
+        "mult_depth": cfg.mult_depth, "scale_bits": cfg.scale_bits,
+        "sign": p.sign or (3, 2, 2),
+        "setup_s": setup_s, "exec_ms": exec_ms,
+        "max_err": max_err, "avg_err": avg_err,
+        "n_big_err": int((err > 0.01).sum()),
+        "mults": ctx.mult_count, "rots": ctx.rot_count,
+        "logqp": logqp, "sec_ok": sec_ok,
+        **mem,
+    }
+    if verbose:
+        # the reference's gtest stdout lines (size_*.txt), greppable
+        print(f"Input array size: {N}")
+        print(f"Using Ring Dimension: {cfg.ring_dim}")
+        print(f"Multiplicative depth: {cfg.mult_depth}")
+        print(f"Scaling Mod: {cfg.scale_bits}")
+        n_, dg_, df_ = res["sign"]
+        print(f"Sign Configuration: CompositeSign({n_}, {dg_}, {df_})")
+        print()
+        print("Performance Analysis:")
+        print(f"Execution time: {exec_ms:.0f} ms")
+        print()
+        print("Memory Analysis:")
+        print(f"Idle Memory (GB): {mem['idle_gb']:.6g}")
+        print(f"Setup Memory (GB): {mem['setup_gb']:.6g}")
+        print(f"Peak Memory (GB): {mem['peak_gb']:.6g}")
+        print(f"Average Memory (GB): {mem['average_gb']:.6g}")
+        print(f"Crypto Overhead (GB): {mem['crypto_overhead_gb']:.6g}")
+        print(f"Sorting Overhead (GB): {mem['sorting_overhead_gb']:.6g}")
+        print()
+        print("Error Analysis:")
+        print(f"Maximum error: {max_err:.6g} "
+              f"(log2: {np.log2(max(max_err, 1e-300)):.4f})")
+        print(f"Average error: {avg_err:.6g} "
+              f"(log2: {np.log2(max(avg_err, 1e-300)):.4f})")
+        print(f"Number of errors larger than 0.01: {res['n_big_err']}")
+        sys.stdout.flush()
+    return res
+
+
+def summarize(trials: list[dict]) -> str:
+    """The reference's total_results.txt section for one N."""
+    t = trials[0]
+    avg_time = np.mean([x["exec_ms"] for x in trials]) / 1000.0
+    n_, dg_, df_ = t["sign"]
+    lines = [
+        "=" * 38,
+        f"     Results for N = {t['N']}",
+        "=" * 38,
+        "Crypto Parameters:",
+        f"  Ring Dimension      : {t['ring_dim']}",
+        f"  Multiplicative Depth: {t['mult_depth']}",
+        f"  Scaling Mod Size    : {t['scale_bits']}",
+        f"  Sign Configuration  : CompositeSign({n_}, {dg_}, {df_})",
+        "",
+        "Performance Metrics:",
+        f"  Average Time     : {avg_time:.4f}s",
+        "",
+        "Memory Metrics:",
+        f"  Idle Memory        : {np.mean([x['idle_gb'] for x in trials]):.4f} GB",
+        f"  Setup Memory       : {np.mean([x['setup_gb'] for x in trials]):.4f} GB",
+        f"  Peak Memory        : {np.mean([x['peak_gb'] for x in trials]):.4f} GB",
+        f"  Average Memory     : {np.mean([x['average_gb'] for x in trials]):.4f} GB",
+        f"  Crypto Overhead    : {np.mean([x['crypto_overhead_gb'] for x in trials]):.4f} GB",
+        f"  Sorting Overhead   : {np.mean([x['sorting_overhead_gb'] for x in trials]):.4f} GB",
+        "",
+        "Error Analysis:",
+        f"  Max Error (log2): "
+        f"{np.mean([np.log2(max(x['max_err'], 1e-300)) for x in trials]):.4f}",
+        f"  Average Error (log2): "
+        f"{np.mean([np.log2(max(x['avg_err'], 1e-300)) for x in trials]):.4f}",
+        "=" * 38,
+        "",
+    ]
+    return "\n".join(lines)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--algo", default="hybrid1")
+    ap.add_argument("--sizes", default="4,8,16",
+                    help="comma-separated array sizes")
+    ap.add_argument("--trials", type=int, default=1)
+    ap.add_argument("--ring", type=int, default=17,
+                    help="log2 ring dimension (>=16 selects the "
+                         "full-fidelity registry tier)")
+    ap.add_argument("--outdir", default="experimental_results")
+    args = ap.parse_args(argv)
+
+    sizes = [int(s) for s in args.sizes.split(",")]
+    os.makedirs(args.outdir, exist_ok=True)
+    total = []
+    for N in sizes:
+        trials = []
+        for t in range(args.trials):
+            print(f"--- {args.algo} N={N} trial {t + 1}/{args.trials} ---")
+            trials.append(run_trial(args.algo, N, args.ring, seed=100 + t))
+        block = summarize(trials)
+        with open(os.path.join(args.outdir, f"N{N}_summary.txt"), "w") as f:
+            f.write(block)
+        total.append(block)
+        print(block)
+    with open(os.path.join(args.outdir, "total_results.txt"), "w") as f:
+        f.write("\n".join(total))
+
+
+if __name__ == "__main__":
+    main()

@@ -259,12 +259,85 @@ class DirectSort:
             result = tmp if result is None else ctx.add(result, tmp)
         return result
 
+    # ---------- rotationIndexCheck2N (sort_algo.h:587-656) ----------
+    def rotation_index_check_2n(self, ctx_rank: Ciphertext,
+                                input_array: Ciphertext) -> Ciphertext:
+        """Alternate permutation stage: plain scaled-sinc kernel over the
+        doubled (-2N, 2N) index range with 2N-wide blind-rotation blocks
+        (rotationIndexCheck2N, sort_algo.h:587-656).  Uses twice the slots
+        per copy of checkN but the plain sinc series instead of the
+        doubled one."""
+        N = self.N
+        ctx = self.ctx
+        num_partition = min(2 * N, self.max_batch // N)
+        num_batch = 2 * N // num_partition
+        num_slots = num_partition * N
+        # np = largest power of two with np^2 <= num_partition/2
+        # (sort_algo.h:598-601)
+        np_ = 1 << (int(np.log2(max(1, num_partition // 2))) >> 1)
+        if np_ * np_ > num_partition // 2:
+            np_ >>= 1
+        np_ = max(1, np_)
+
+        index_pt = ctx.make_plaintext(self._index_vector(), ctx_rank.limbs,
+                                      ctx_rank.scale, N)
+        index_minus_rank = ctx.rsub(index_pt, ctx_rank).with_slots(num_slots)
+        input_full = input_array.with_slots(num_slots)
+
+        coeffs = sinc_coefficients(N)
+        output = None
+        for b in range(num_batch):
+            chk = self._checking_vector_2n(num_slots,
+                                           b * (num_slots // N // 2))
+            rot_index = ctx.sub(index_minus_rank,
+                                self._pt_at(chk, index_minus_rank, num_slots))
+            # range (-2N, 2N) -> (-1, 1)
+            rot_index = ctx.mult_scalar(rot_index, 1.0 / N / 2.0)
+            sinc_mask = eval_chebyshev_series_ps(ctx, rot_index, coeffs)
+            masked = ctx.mult(sinc_mask, input_full)
+            masked_rots = [
+                self.rot.rotate(masked, b * (num_slots // N // 2) + i)
+                for i in range(np_)]
+            rotated = self._blind_rotation_opt_2n(masked_rots, num_slots, np_)
+            output = rotated if output is None else ctx.add(output, rotated)
+
+        for i in range(1, int(np.log2(num_partition)) + 1):
+            output = ctx.add(output, self.rot.rotate(output, num_slots >> i))
+        return output.with_slots(N)
+
+    def _blind_rotation_opt_2n(self, masked_inputs, num_slots, np_):
+        """2N-wide-block variant (blindRotationOpt2N, sort_algo.h:536-559):
+        the batch offset is pre-baked into masked_inputs' rotations, so the
+        group rotation is i*np only."""
+        ctx = self.ctx
+        result = None
+        groups = (num_slots // self.N // 2) // np_
+        for i in range(groups):
+            tmp = None
+            for j in range(np_):
+                msk = self._mask(num_slots, np_ * i + j, 2 * self.N)
+                msk = _rotate_list(msk, j)
+                term = ctx.mult(masked_inputs[j],
+                                self._pt(msk, masked_inputs[j], num_slots))
+                tmp = term if tmp is None else ctx.add(tmp, term)
+            tmp = self.rot.rotate(tmp, i * np_)
+            result = tmp if result is None else ctx.add(result, tmp)
+        return result
+
     # ---------------- sort (sort_algo.h:752-774) ----------------
     def sort(self, input_array: Ciphertext,
              cfg: SignConfig | None = None) -> Ciphertext:
         cfg = cfg or default_sign_config(self.N)
         rank = self.construct_rank(input_array, cfg)
         return self.rotation_index_check_n(rank, input_array)
+
+    def sort_2n(self, input_array: Ciphertext,
+                cfg: SignConfig | None = None) -> Ciphertext:
+        """sort via the 2N permutation stage (the reference exposes it
+        through DirectSortNTest, tests/DirectSortNTest.cpp:130-283)."""
+        cfg = cfg or default_sign_config(self.N)
+        rank = self.construct_rank(input_array, cfg)
+        return self.rotation_index_check_2n(rank, input_array)
 
     # ============ hybrid variants (sort_algo.h:776-1389) ============
     # MEHP24-style oblivious permutation applied to the SIMD rank: the

@@ -8,8 +8,8 @@ the reference's choices (sign.cpp:9-157); evaluation structure is ours
 (functional JAX ops instead of OpenMP sections — the parallel sections
 fuse on TPU via XLA, see SURVEY.md §2.3).
 
-Lazy bootstrap hooks mirror sign.cpp:160-185; until EvalBootstrap lands
-(build plan phase 5) configurations must provision enough depth.
+Lazy bootstrap hooks mirror sign.cpp:160-185; pass a
+core.bootstrap.BootstrapHook (the real EvalBootstrap) or provision depth.
 """
 
 from __future__ import annotations
@@ -147,6 +147,24 @@ def composite_sign(ctx: CkksContext, x: Ciphertext, cfg: SignConfig,
     return y
 
 
+def signum_polycircuit(ctx: CkksContext, x: Ciphertext) -> Ciphertext:
+    """Degree-1023 Chebyshev series of sign(x) on [-1, 1]
+    (reference sign.cpp:189-608, the FHERMA polycircuit entry).
+
+    The reference hardcodes the fitted coefficients and hand-unrolls the
+    tail terms T1009..T1023 around OpenFHE's series-degree limit; our
+    Paterson-Stockmeyer evaluator takes the full degree directly, and the
+    coefficients are regenerated from the same Chebyshev interpolation of
+    sign (they agree with the reference's constants to ~1e-5 — well under
+    the 0.01 sort gate; the reference's values come from an external
+    fitting tool with a slightly different node count)."""
+    import numpy as np
+    from ..core.poly_eval import chebyshev_coefficients
+    coeffs = chebyshev_coefficients(np.sign, -1.0, 1.0, 1023)
+    coeffs[0::2] = 0.0          # sign is odd: exact zeros, kills noise
+    return eval_chebyshev_series_ps(ctx, x, coeffs)
+
+
 def naive_discrete_sign(ctx: CkksContext, x: Ciphertext) -> Ciphertext:
     """Degree-119 Chebyshev step function (reference sign.cpp:610-624)."""
     return eval_chebyshev_function(
@@ -171,6 +189,5 @@ def sign(ctx: CkksContext, x: Ciphertext, func: SignFunc,
     if func == SignFunc.Tanh:
         return tanh_sign(ctx, x)
     if func == SignFunc.SignumPolycircuit:
-        raise NotImplementedError(
-            "signum_polycircuit (degree-1023 series) lands with bootstrap")
+        return signum_polycircuit(ctx, x)
     raise ValueError(func)

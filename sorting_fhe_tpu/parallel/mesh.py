@@ -51,10 +51,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put(arr, mesh: Mesh, sharding: NamedSharding):
+    """device_put with divisibility fallback: any dimension the spec
+    shards must divide the mesh axis size, else that dim is replicated
+    (key/table row counts are set by crypto depth, not by the mesh)."""
+    size = mesh.devices.size
+    spec = list(sharding.spec) + [None] * (arr.ndim - len(sharding.spec))
+    fixed = tuple(s if (s is None or arr.shape[i] % size == 0) else None
+                  for i, s in enumerate(spec))
+    return jax.device_put(arr, NamedSharding(mesh, P(*fixed)))
+
+
 def shard_ciphertext(ct, mesh: Mesh):
     """Place a Ciphertext's data on the mesh, limb-sharded."""
     from dataclasses import replace
-    data = jax.device_put(ct.data, limb_sharding(mesh))
+    data = _put(ct.data, mesh, limb_sharding(mesh))
     return replace(ct, data=data)
 
 
@@ -64,22 +75,18 @@ def shard_context_tables(ctx, mesh: Mesh):
     Level tables and keys are placed limb-sharded where their shapes allow;
     scalar/per-digit constants are replicated.
     """
-    rep = replicated(mesh)
-    ctx.relin_key = jax.device_put(ctx.relin_key, key_sharding(mesh))
+    ctx.relin_key = _put(ctx.relin_key, mesh, key_sharding(mesh))
     for k in list(ctx.rot_keys):
-        ctx.rot_keys[k] = jax.device_put(ctx.rot_keys[k], key_sharding(mesh))
+        ctx.rot_keys[k] = _put(ctx.rot_keys[k], mesh, key_sharding(mesh))
     # NTT context tables: [rows, n] -> limb-sharded
     ntt = ctx.params.ntt
     ts = table_sharding(mesh)
     for name in ("psi", "psi_sh", "ipsi", "ipsi_sh"):
-        setattr(ntt, name, jax.device_put(getattr(ntt, name), ts))
+        setattr(ntt, name, _put(getattr(ntt, name), mesh, ts))
+    row = NamedSharding(mesh, P("limb"))
     for name in ("p", "n_inv", "n_inv_sh"):
-        setattr(ntt, name, jax.device_put(
-            getattr(ntt, name), NamedSharding(mesh, P("limb"))))
-    ctx.params.mont_neg_p_inv = jax.device_put(
-        ctx.params.mont_neg_p_inv, NamedSharding(mesh, P("limb")))
-    ctx.params.primes_dev = jax.device_put(
-        ctx.params.primes_dev, NamedSharding(mesh, P("limb")))
+        setattr(ntt, name, _put(getattr(ntt, name), mesh, row))
+    ctx.params.mont_neg_p_inv = _put(ctx.params.mont_neg_p_inv, mesh, row)
+    ctx.params.primes_dev = _put(ctx.params.primes_dev, mesh, row)
     ctx._tables.clear()   # rebuilt lazily from the re-placed parents
-    _ = rep
     return ctx

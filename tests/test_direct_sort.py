@@ -37,6 +37,17 @@ def test_direct_sort_plain(N, ring):
     assert np.abs(got - np.sort(v)).max() < 0.01
 
 
+@pytest.mark.parametrize("N,ring", [(4, 1 << 10), (16, 1 << 12),
+                                    (64, 1 << 14)])
+def test_direct_sort_2n_plain(N, ring):
+    """sort via rotationIndexCheck2N (sort_algo.h:587-656)."""
+    ctx = PlainContext(ring)
+    ds = DirectSort(ctx, N)
+    v = vector_with_min_diff(N, 0, 1, 1.0 / N, RNG)
+    got = ctx.decrypt(ds.sort_2n(ctx.encrypt(v, slots=N)))
+    assert np.abs(got - np.sort(v)).max() < 0.01
+
+
 @pytest.mark.parametrize("N", [4, 16, 64])
 def test_construct_rank_plain(N):
     ctx = PlainContext(1 << 13)
@@ -93,6 +104,20 @@ def test_rotation_index_check_encrypted(ectx):
     ct_in = ctx.encrypt(v, slots=N)
     ct_rank = ctx.encrypt(rank + noise, slots=N)
     out = ctx.decrypt(ds.rotation_index_check_n(ct_rank, ct_in))[:N]
+    assert np.abs(out - np.sort(v)).max() < 0.01
+
+
+def test_rotation_index_check_2n_encrypted(ectx):
+    """2N permutation stage fed a synthesized rank (DirectSortNTest's
+    RotationIndexCheck pattern applied to the 2N variant)."""
+    N = 4
+    ctx = ectx
+    ds = DirectSort(ctx, N)
+    v = vector_with_min_diff(N, 0, 1, 1.0 / N, RNG)
+    rank = np.argsort(np.argsort(v)).astype(np.float64)
+    ct_in = ctx.encrypt(v, slots=N)
+    ct_rank = ctx.encrypt(rank, slots=N)
+    out = ctx.decrypt(ds.rotation_index_check_2n(ct_rank, ct_in))[:N]
     assert np.abs(out - np.sort(v)).max() < 0.01
 
 

@@ -1,0 +1,97 @@
+"""Multi-chip (mesh-sharded) tests on the 8 virtual CPU devices.
+
+The reference has no distributed tests (its only parallelism is OpenMP,
+SURVEY.md §2.3); these cover the TPU-native limb-parallel (TP) sharding
+path: a full homomorphic step (mult + relinearize + rescale + rotate), a
+sharded constructRank, and a sharded end-to-end sort, all under an
+8-device jax.sharding.Mesh with the sharding asserted on the outputs.
+"""
+
+import numpy as np
+import pytest
+import jax
+from jax.sharding import PartitionSpec as P
+
+from sorting_fhe_tpu.core.ckks import CkksContext, CkksConfig, Ciphertext
+from sorting_fhe_tpu.models.direct_sort import DirectSort
+from sorting_fhe_tpu.ops.sign import SignConfig, CompositeSignConfig
+from sorting_fhe_tpu.parallel.mesh import (
+    make_mesh, limb_sharding, shard_ciphertext, shard_context_tables)
+from sorting_fhe_tpu.utils.testvec import vector_with_min_diff
+
+RNG = np.random.default_rng(7)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def sctx(mesh):
+    """Limb-sharded context: nq = 2 + 14 = 16 and 8 special primes split
+    evenly over 8 devices (the dryrun_multichip geometry)."""
+    ctx = CkksContext(CkksConfig(ring_dim=1 << 8, mult_depth=14,
+                                 scale_bits=26, comp=1, dnum=2))
+    return shard_context_tables(ctx, mesh)
+
+
+def test_sharded_homomorphic_step(sctx, mesh):
+    """mult + relinearize + rescale + rotate under jit with limb-sharded
+    inputs; output sharding is asserted, result decrypts correctly."""
+    ctx = sctx
+    ctx.gen_rotation_keys([1])
+    N = 4
+    v = vector_with_min_diff(N, 0, 1, 1.0 / N, RNG)
+    w = vector_with_min_diff(N, 0, 1, 1.0 / N, RNG)
+    a = shard_ciphertext(ctx.encrypt(v, slots=N), mesh)
+    b = shard_ciphertext(ctx.encrypt(w, slots=N), mesh)
+    ls = limb_sharding(mesh)
+
+    def step(ad, bd):
+        ca = Ciphertext(ad, ctx.delta, 1, N)
+        cb = Ciphertext(bd, ctx.delta, 1, N)
+        m = ctx.rescale(ctx.mult(ca, cb))
+        return ctx.add(ctx.rotate(m, 1), m).data
+
+    # note: the rescaled output has nq-1 limbs, which need not divide the
+    # mesh; GSPMD picks the output sharding (inputs stay limb-sharded)
+    out = jax.jit(step, in_shardings=(ls, ls))(a.data, b.data)
+    out.block_until_ready()
+    assert len(out.sharding.device_set) == 8
+    got = ctx.decrypt(Ciphertext(
+        out, ctx.params.canonical_scale[a.limbs - ctx.params.comp], 1, N))[:N]
+    want = np.roll(v * w, -1) + v * w
+    assert np.abs(got - want).max() < 1e-2
+
+
+def test_sharded_construct_rank(sctx, mesh):
+    """constructRank (baby-step rotations + SIMD compare + log-tree
+    reduction) on a limb-sharded context."""
+    ctx = sctx
+    N = 4
+    ds = DirectSort(ctx, N)
+    v = vector_with_min_diff(N, 0, 1, 1.0 / N, RNG)
+    ct = shard_ciphertext(ctx.encrypt(v, slots=N), mesh)
+    cfg = SignConfig(CompositeSignConfig(3, 1, 1))
+    rank_ct = ds.construct_rank(ct, cfg)
+    assert len(rank_ct.data.sharding.device_set) == 8
+    rank = ctx.decrypt(rank_ct)[:N]
+    want = np.argsort(np.argsort(v))
+    # one g/f iteration each: coarse sign, rank within half a unit
+    assert np.abs(rank - want).max() < 0.5
+
+
+def test_sharded_full_sort(mesh):
+    """End-to-end encrypted DirectSort on the 8-device mesh."""
+    ctx = CkksContext(CkksConfig(ring_dim=1 << 8, mult_depth=26,
+                                 scale_bits=26, comp=1, dnum=4))
+    shard_context_tables(ctx, mesh)
+    N = 4
+    ds = DirectSort(ctx, N)
+    v = vector_with_min_diff(N, 0, 1, 1.0 / N, RNG)
+    ct = shard_ciphertext(ctx.encrypt(v, slots=N), mesh)
+    out_ct = ds.sort(ct)
+    assert len(out_ct.data.sharding.device_set) == 8
+    got = ctx.decrypt(out_ct)[:N]
+    assert np.abs(got - np.sort(v)).max() < 0.02

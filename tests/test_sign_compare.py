@@ -66,6 +66,17 @@ def test_composite_sign3(ctx):
     assert np.abs(ctx.decrypt(out) - np.sign(v)).max() < 1e-3
 
 
+def test_signum_polycircuit(ctx):
+    """Degree-1023 Chebyshev sign (reference sign.cpp:189-608)."""
+    s = ctx.params.num_slots
+    v = _margin_vec(s, 1.0 / 16)
+    ct = ctx.encrypt(v)
+    out = sign(ctx, ct, SignFunc.SignumPolycircuit,
+               SignConfig(CompositeSignConfig()))
+    err = np.abs(ctx.decrypt(out) - np.sign(v)).max()
+    assert err < 0.05, err
+
+
 def test_compare(ctx):
     s = ctx.params.num_slots
     a = RNG.uniform(0, 1, s)
