@@ -29,6 +29,24 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+try:                                   # trace-state probe (stackless JAX)
+    from jax._src.core import trace_state_clean as _trace_state_clean
+except ImportError:                    # pragma: no cover - API drift guard
+    def _trace_state_clean() -> bool:
+        return not isinstance(jnp.zeros(()) + 0, jax.core.Tracer)
+
+
+def _concrete_ctx():
+    """Context manager guarding cross-call cache fills: a no-op outside any
+    trace (the common, per-op-jit driving mode — Pallas kernels work there),
+    ensure_compile_time_eval when an OUTER jit is tracing (so cached device
+    constants stay concrete instead of leaking tracers).  Pallas cannot run
+    under the latter's EvalTrace; code paths reachable while tracing must
+    use the XLA NTT fallback (see _to_eval_domain)."""
+    from contextlib import nullcontext
+    return nullcontext() if _trace_state_clean() \
+        else jax.ensure_compile_time_eval()
+
 from . import nt, encoding
 from .params import CkksParams, CkksConfig, BASE_LIMBS
 from .keys import KeyGenerator, Encryptor, Decryptor
@@ -123,13 +141,17 @@ class _LevelTables:
             self.rows_q = jnp.asarray(np.arange(l, dtype=np.int32))
             self.rows_ext = jnp.asarray(ext_rows.astype(np.int32))
             self.rows_sp = jnp.asarray(sprows.astype(np.int32))
-        else:
-            self.t_psi = ntt.psi
-            self.t_psi_sh = ntt.psi_sh
-            self.t_ipsi = ntt.ipsi
-            self.t_ipsi_sh = ntt.ipsi_sh
-            self.t_ninv = ntt.n_inv
-            self.t_ninv_sh = ntt.n_inv_sh
+        # XLA tables are kept on BOTH backends: plaintext encoding under an
+        # outer jit trace must run inside ensure_compile_time_eval, whose
+        # EvalTrace cannot execute Pallas kernels (no program_id eval rule) —
+        # the pure-jnp path is the fallback there.  These are references to
+        # the shared NttContext buffers, not copies.
+        self.t_psi = ntt.psi
+        self.t_psi_sh = ntt.psi_sh
+        self.t_ipsi = ntt.ipsi
+        self.t_ipsi_sh = ntt.ipsi_sh
+        self.t_ninv = ntt.n_inv
+        self.t_ninv_sh = ntt.n_inv_sh
         self.t_p = ntt.p
 
         # --- rescale tables: one composite rescale drops `comp` primes
@@ -275,6 +297,12 @@ def _fwd_q(x, T: "_LevelTables", k: int):
     if T.backend.startswith("pallas"):
         return ntt_fwd_pallas(x, T.pk, T.rows_q[:k],
                               interpret=T.backend == "pallas-interpret")
+    return _fwd_q_xla(x, T, k)
+
+
+def _fwd_q_xla(x, T: "_LevelTables", k: int):
+    """Stage-unrolled pure-jnp forward NTT: works under EvalTrace (inside
+    jax.ensure_compile_time_eval), which the Pallas kernels cannot."""
     return ntt_fwd_t(x, T.t_p[:k], T.t_psi[:k], T.t_psi_sh[:k])
 
 
@@ -525,6 +553,15 @@ def _kj_mod_raise(data, w, wsh, Cw, Csh, dinv_f, DmodR, DmodR_sh,
     return _fwd_q(acc, T_hi, acc.shape[1])
 
 
+@jax.jit
+def _kj_encode(rows, rmod, rmod_sh, T):
+    """Plain uint32 coefficient rows [l, n] -> NTT+Montgomery domain."""
+    l = rows.shape[0]
+    dev = shoup_mul(rows, rmod.reshape(-1, 1), rmod_sh.reshape(-1, 1),
+                    T.q_p.reshape(-1, 1))
+    return _fwd_q(dev, T, l)
+
+
 _kj_add = jax.jit(_k_add)
 _kj_sub = jax.jit(_k_sub)
 _kj_pt_mul = jax.jit(_k_pt_mul)
@@ -589,7 +626,7 @@ class CkksContext:
             # OUTER jit is tracing (e.g. a whole sort step under one jit);
             # without it the constants would be created as tracers and leak
             # into this cross-call cache.
-            with jax.ensure_compile_time_eval():
+            with _concrete_ctx():
                 T = _LevelTables(self.params, l, self.backend)
                 npi_rows = np.concatenate([
                     np.arange(l),
@@ -615,14 +652,14 @@ class CkksContext:
                         f"evaluation-only context is missing rotation key "
                         f"{k}: regenerate and reserialize with it")
                 g = encoding.galois_element_for_rotation(self.n, kk)
-                with jax.ensure_compile_time_eval():
+                with _concrete_ctx():
                     self.rot_keys[kk] = jnp.asarray(
                         self.keygen.gen_rotation_key(g))
 
     def _perm(self, k: int) -> jnp.ndarray:
         if k not in self._perm_cache:
             g = encoding.galois_element_for_rotation(self.n, k)
-            with jax.ensure_compile_time_eval():   # may fill under outer jit
+            with _concrete_ctx():
                 self._perm_cache[k] = jnp.asarray(
                     encoding.automorphism_eval_perm(self.n, g).astype(
                         np.int32))
@@ -683,23 +720,34 @@ class CkksContext:
             p = self.params.q[i]
             r = np.fmod(coeffs, float(p))
             rows[i] = np.where(r < 0, r + p, r).astype(np.uint32)
-        # ensure_compile_time_eval: the cache may be filled while an OUTER
-        # jit traces a whole sort step; device constants must stay concrete
-        with jax.ensure_compile_time_eval():
-            T = self.tables(limbs)
-            dev = jnp.asarray(rows)
-            # to Montgomery then NTT, on device
-            rmod = np.array([(1 << 32) % self.params.q[i]
-                             for i in range(limbs)], dtype=np.uint32)
-            rsh = np.array([(int(r) << 32) // self.params.q[i]
-                            for i, r in enumerate(rmod)], dtype=np.uint32)
-            dev = shoup_mul(dev, jnp.asarray(rmod).reshape(-1, 1),
-                            jnp.asarray(rsh).reshape(-1, 1),
-                            T.q_p.reshape(-1, 1))
-            dev = _fwd_q(dev, T, limbs)
-        pt = Plaintext(dev, float(scale), slots)
+        pt = Plaintext(self._to_eval_domain(rows, limbs), float(scale), slots)
         self._pt_cache[key] = pt
         return pt
+
+    def _to_eval_domain(self, rows: np.ndarray, limbs: int) -> jnp.ndarray:
+        """Host plain-coefficient rows [limbs, n] -> concrete device array
+        in the NTT+Montgomery domain.
+
+        Called from the cross-call plaintext cache, so the result must be
+        CONCRETE even when an outer jit is tracing.  Outside any trace the
+        jitted encode kernel (Pallas NTT on TPU) runs directly.  Under an
+        outer trace we must escape it with jax.ensure_compile_time_eval,
+        whose EvalTrace cannot run pallas_call (no 'program_id' eval rule —
+        the round-2 TPU crash), so that branch pins the pure-jnp XLA NTT."""
+        rmod = np.array([(1 << 32) % self.params.q[i]
+                         for i in range(limbs)], dtype=np.uint32)
+        rsh = np.array([(int(r) << 32) // self.params.q[i]
+                        for i, r in enumerate(rmod)], dtype=np.uint32)
+        if _trace_state_clean():
+            T = self.tables(limbs)
+            return _kj_encode(jnp.asarray(rows), jnp.asarray(rmod),
+                              jnp.asarray(rsh), T)
+        with jax.ensure_compile_time_eval():
+            T = self.tables(limbs)
+            dev = shoup_mul(jnp.asarray(rows), jnp.asarray(rmod).reshape(-1, 1),
+                            jnp.asarray(rsh).reshape(-1, 1),
+                            T.q_p.reshape(-1, 1))
+            return _fwd_q_xla(dev, T, limbs)
 
     def _scalar_limb_consts(self, m: int, limbs: int):
         """Integer scalar (possibly negative) as per-limb plain constants."""
@@ -762,31 +810,43 @@ class CkksContext:
         return self.rescale(ct)
 
     def _match_add(self, a: Ciphertext, b: Ciphertext):
-        """Equalize (limbs, scale) of two cts for addition."""
-        if a.limbs > b.limbs:
-            a = self.adjust_to(a, b.limbs, b.scale)
-        elif b.limbs > a.limbs:
-            b = self.adjust_to(b, a.limbs, a.scale)
-        if abs(a.scale / b.scale - 1) > SCALE_TOL:
-            if a.noise_deg == 1 and b.noise_deg == 2:
+        """Equalize (limbs, scale) of two cts for addition.
+
+        Bounded fixpoint: adjust_to may land one limb BELOW the requested
+        target (when limbs already match but the scale is off by more than
+        SCALE_TOL it burns a level via const-mul + rescale), so a single
+        pass can leave the pair one limb apart with matching scales — the
+        comp=1 bug exposed by test_multichip::test_sharded_full_sort.
+        Loop until both invariants hold; each iteration strictly reduces
+        max(limbs) or resolves a scale/degree mismatch, so it terminates
+        well inside the iteration bound."""
+        for _ in range(16):
+            if a.limbs > b.limbs:
+                a = self.adjust_to(a, b.limbs, b.scale)
+                continue
+            if b.limbs > a.limbs:
+                b = self.adjust_to(b, a.limbs, a.scale)
+                continue
+            if abs(a.scale / b.scale - 1) < SCALE_TOL:
+                return a, b
+            if (a.noise_deg == 1 and b.noise_deg == 2
+                    and b.scale / a.scale > 1.5):
                 a = self._raise_deg(a, b.scale)
-            elif a.noise_deg == 2 and b.noise_deg == 1:
+                continue
+            if (a.noise_deg == 2 and b.noise_deg == 1
+                    and a.scale / b.scale > 1.5):
                 b = self._raise_deg(b, a.scale)
-            else:
-                # same degree but mismatched: adjust via one level
-                comp = self.params.comp
-                a = self.adjust_to(a, a.limbs - comp,
-                                   self.canonical_scale(a.limbs - comp))
-                b = self.adjust_to(b, b.limbs - comp,
-                                   self.canonical_scale(b.limbs - comp))
-                if (a.limbs != b.limbs
-                        or abs(a.scale / b.scale - 1) > SCALE_TOL):
-                    # adjust_to's tolerance early-return can leave the two
-                    # at different limb counts; one more pass equalizes
-                    # (terminates: limbs now differ, first branch exact)
-                    return self._match_add(a, b)
-        assert abs(a.scale / b.scale - 1) < SCALE_TOL, (a.scale, b.scale)
-        return a, b
+                continue
+            # same degree (or raise impossible) with mismatched scales:
+            # burn one level on both, landing on the canonical scale
+            comp = self.params.comp
+            a = self.adjust_to(a, a.limbs - comp,
+                               self.canonical_scale(a.limbs - comp))
+            b = self.adjust_to(b, b.limbs - comp,
+                               self.canonical_scale(b.limbs - comp))
+        raise AssertionError(
+            f"_match_add failed to converge: limbs {a.limbs}/{b.limbs} "
+            f"scales {a.scale}/{b.scale}")
 
     def _raise_deg(self, ct: Ciphertext, target_scale: float) -> Ciphertext:
         """Multiply deg-1 ct by integer ~ target_scale/scale (no rescale)."""
@@ -1038,14 +1098,10 @@ class CkksContext:
             limbs = ct.limbs
             rows = np.zeros((limbs, self.n), dtype=np.uint32)
             for i in range(limbs):
-                p = self.params.q[i]
-                # Montgomery form of +-1 at coefficient k
-                v = ((1 << 32) % p)
-                rows[i, k] = (p - v) if neg else v
-            with jax.ensure_compile_time_eval():   # may fill under outer jit
-                T = self.tables(limbs)
-                dev = _fwd_q(jnp.asarray(rows), T, limbs)
-            self._pt_cache[key] = dev
+                # plain +-1 at coefficient k; _to_eval_domain applies the
+                # Montgomery factor and the forward NTT
+                rows[i, k] = (self.params.q[i] - 1) if neg else 1
+            self._pt_cache[key] = self._to_eval_domain(rows, limbs)
         T = self.tables(ct.limbs)
         d = _kj_pt_mul(ct.data, self._pt_cache[key], T.q_p, T.q_npi)
         return replace(ct, data=d)
@@ -1089,7 +1145,7 @@ class CkksContext:
                              dtype=np.uint32)
             DmodR_sh = np.array([(int(v) << 32) // p
                                  for v, p in zip(DmodR, q)], dtype=np.uint32)
-            with jax.ensure_compile_time_eval():   # may fill under outer jit
+            with _concrete_ctx():
                 self._pt_cache[key] = tuple(map(jnp.asarray, (
                     w, wsh, Cw, Csh, dinv, DmodR, DmodR_sh)))
         w, wsh, Cw, Csh, dinv, DmodR, DmodR_sh = self._pt_cache[key]

@@ -118,3 +118,27 @@ def test_zero_ciphertext(ctx):
     v = RNG.uniform(-1, 1, ctx.params.num_slots)
     a = ctx.encrypt(v)
     assert np.abs(ctx.decrypt(ctx.add(z, a)) - v).max() < 1e-9
+
+
+def test_match_add_comp1_fixpoint():
+    """Regression (round-2 test_sharded_full_sort): at comp=1 the PS
+    Chebyshev recursion produces adds whose operands arrive one limb apart
+    with matching scales; _match_add must equalize BOTH limbs and scale
+    (ckks.py _match_add fixpoint).  Runs the exact failing path — the
+    doubled-sinc series the DirectSort N=4 permutation stage evaluates —
+    on a plain (unsharded) comp=1 context."""
+    from sorting_fhe_tpu.core.poly_eval import eval_chebyshev_series_ps
+    from sorting_fhe_tpu.ops.chebyshev import doubled_sinc_coefficients
+
+    ctx = CkksContext(CkksConfig(ring_dim=1 << 8, mult_depth=12,
+                                 scale_bits=26, comp=1, dnum=4))
+    c = doubled_sinc_coefficients(4)
+    s = ctx.params.num_slots
+    v = RNG.uniform(-1, 1, s)
+    out = eval_chebyshev_series_ps(ctx, ctx.encrypt(v), c)
+    got = ctx.decrypt(out)
+    want = np.polynomial.chebyshev.chebval(v, c)
+    assert np.abs(got - want).max() < 1e-3
+    # scale stays near canonical (within the evaluator's drift tolerance;
+    # comp=1 primes only approximate 2^scale_bits)
+    assert abs(out.scale / ctx.params.canonical_scale[out.limbs] - 1) < 0.01
