@@ -16,11 +16,14 @@ stderr so the stdout contract stays one line.
 
 Env knobs:
   BENCH_ALGO   sort pipeline (default hybrid1; hybrid/hybrid2/direct)
-  BENCH_N      array size    (default 16)
+  BENCH_N      array size    (default 128 — the north-star size)
   BENCH_RING   log2 ring dim (default 17 — the reference's full-fidelity ring)
   BENCH_TRIALS timed trials  (default 2; first doubles as compile warm-up)
   BENCH_SORT   set 0 to skip the sort and emit the NTT metric instead
-"""
+  BENCH_NTT    set 0 to skip the NTT microbench (faster sort-only runs)
+
+On sort failure the JSON line carries an "error" field and the process
+exits nonzero (the round-2 silent-fallback failure mode is gone)."""
 
 import json
 import os
@@ -81,23 +84,118 @@ def ntt_bench(ring_log: int):
         rng.integers(0, p, size=n, dtype=np.uint64).astype(np.uint32)
         for p in primes])).reshape(1, L, n)
     rows = jnp.asarray(np.arange(L, dtype=np.int32))
-    f = jax.jit(lambda y: ntt_fwd_pallas(y, pk, rows))
+
+    # Through the remote-TPU tunnel a single dispatch+sync costs tens of
+    # ms, swamping the ~0.2 ms kernel.  Measure the device-side marginal
+    # cost by differencing two on-device fori_loop repetition counts
+    # (tables passed as ARGUMENTS — closing over them embeds ~270 MB of
+    # twiddle literals in the HLO and costs ~2 min of lowering).
+    def chained(reps):
+        return jax.jit(lambda y, t, r: jax.lax.fori_loop(
+            0, reps, lambda i, a: ntt_fwd_pallas(a, t, r), y))
+
+    k_lo, k_hi = 4, 24
+    f_lo, f_hi = chained(k_lo), chained(k_hi)
     t0 = time.time()
-    o = f(x)
-    sync(o)
+    sync(f_lo(x, pk, rows))
+    sync(f_hi(x, pk, rows))
     log(f"[ntt] compile+run {time.time()-t0:.1f}s")
-    reps = 20
-    sync(f(x))
-    t0 = time.time()
-    for _ in range(reps):
-        o = f(x)
-    sync(o)
-    dt = (time.time() - t0) / reps
+    times = {}
+    for k, f in ((k_lo, f_lo), (k_hi, f_hi)):
+        t0 = time.time()
+        o = f(x, pk, rows)
+        sync(o)
+        times[k] = time.time() - t0
+    dt = (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
     rate = L / dt
     log(f"[ntt] {rate:,.0f} limb-NTTs/s at n=2^{ring_log} "
-        f"({dt*1e3:.2f} ms per {L}-limb poly)")
+        f"({dt*1e3:.2f} ms per {L}-limb poly; "
+        f"T{k_lo}={times[k_lo]*1e3:.0f}ms T{k_hi}={times[k_hi]*1e3:.0f}ms)")
     return {"metric": f"ntt_limb_transforms_per_s_ring2e{ring_log}",
             "value": round(rate, 1), "unit": "1/s", "vs_baseline": None}
+
+
+def micro_bench(ctx, limbs=None):
+    """Device-side per-op ms table at the context's top level: mult+relin,
+    rescale, hoisted-vs-composed rotation sweep (the reference's
+    RotationBenchmark.cpp:8-53), and the plain sinc microbench
+    (SincBenchmark.cpp:15-35).  Uses fori_loop rep differencing so tunnel
+    dispatch/sync overhead cancels."""
+    import jax.numpy as jnp
+    from jax import lax
+    from sorting_fhe_tpu.core import ckks as C
+
+    P = ctx.params
+    l = limbs or P.nq
+    T = ctx.tables(l)
+    ctx.gen_rotation_keys([1])
+    rk = ctx.rot_keys[1]
+    perm = ctx._perm(1)
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(np.stack([
+        rng.integers(0, P.q[i], size=(2, ctx.n), dtype=np.int64
+                     ).astype(np.uint32) for i in range(l)], axis=1))
+
+    def marginal(make_body, lo=2, hi=8):
+        fs = {}
+        for K in (lo, hi):
+            body = make_body()
+            fs[K] = jax.jit(lambda a, K=K, body=body: lax.fori_loop(
+                0, K, lambda i, x: body(x), a))
+            sync(fs[K](data))
+        ts = {}
+        for K, f in fs.items():
+            t0 = time.time()
+            o = f(data)
+            sync(o)
+            ts[K] = time.time() - t0
+        return (ts[hi] - ts[lo]) / (hi - lo)
+
+    out = {}
+    out["mult_relin_ms"] = marginal(
+        lambda: lambda a: C._kj_mult_relin(a, a, ctx.relin_key, T)) * 1e3
+    out["rescale_ms"] = marginal(
+        lambda: lambda a: jnp.concatenate(
+            [C._kj_rescale(a, T),
+             jnp.zeros((2, P.comp, ctx.n), jnp.uint32)], axis=1)) * 1e3
+    out["hoist_precompute_ms"] = marginal(
+        lambda: lambda a: a.at[0].set(
+            C._kj_decompose(a[1], T)[0, :l])) * 1e3
+
+    def rot_chain(m, hoisted):
+        def body(a):
+            if hoisted:
+                pre = C._kj_decompose(a[1], T)
+                for _ in range(m):
+                    a = C._kj_fast_rotate(a, pre, rk, perm, T)
+            else:
+                for _ in range(m):
+                    pre = C._kj_decompose(a[1], T)
+                    a = C._kj_fast_rotate(a, pre, rk, perm, T)
+            return a
+        return body
+
+    # step sweep mirrors RotationBenchmark.cpp:8-53 (1..14 composed steps
+    # vs hoisted); trimmed to 3 points to bound first-run compile time
+    for m in (1, 4, 14):
+        out[f"rot_composed_{m}_ms"] = marginal(
+            lambda m=m: rot_chain(m, False), lo=1, hi=3) * 1e3
+        out[f"rot_hoisted_{m}_ms"] = marginal(
+            lambda m=m: rot_chain(m, True), lo=1, hi=3) * 1e3
+
+    # plain sinc kernels (SincBenchmark.cpp:15-35) — host math throughput
+    from sorting_fhe_tpu.ops.comparison import Sinc
+    sk = Sinc(128)
+    xs = np.linspace(-1, 1, 1 << 12)
+    t0 = time.time()
+    for x in xs:
+        sk.scaled_sinc(x)
+        sk.doubled_sinc(x)
+    out["sinc_host_ns_per_eval"] = (time.time() - t0) / (2 * len(xs)) * 1e9
+
+    log(f"[micro] limbs={l}: " + "  ".join(
+        f"{k}={v:.2f}" for k, v in out.items()))
+    return {k: round(v, 3) for k, v in out.items()}
 
 
 def sort_bench(algo: str, N: int, ring_log: int, trials: int):
@@ -116,10 +214,23 @@ def sort_bench(algo: str, N: int, ring_log: int, trials: int):
     logqp, limit, ok = security_check(cfg, ctx.params)
     log(f"[setup] security logQP={logqp} HEStd-128c-limit={limit} ok={ok}")
 
+    minimal = os.environ.get("BENCH_KEYS", "minimal" if N >= 64
+                             else "registry") == "minimal"
     t0 = time.time()
-    ds = DirectSort(ctx, N, rot_indices=list(p.rotations))
-    log(f"[setup] rotation keys ({len(ctx.rot_keys)}) {time.time()-t0:.1f}s "
+    ds = DirectSort(ctx, N, rot_indices=list(p.rotations),
+                    use_minimal_keys=minimal)
+    log(f"[setup] rotation keys ({len(ctx.rot_keys)}, "
+        f"{'minimal' if minimal else 'registry'}) {time.time()-t0:.1f}s "
         f"{device_mem_gb()}")
+
+    micro = None
+    if os.environ.get("BENCH_MICRO", "1") != "0":
+        try:
+            t0 = time.time()
+            micro = micro_bench(ctx)
+            log(f"[micro] table {time.time()-t0:.1f}s")
+        except Exception as e:  # pragma: no cover - defensive
+            log(f"[micro] FAILED: {e!r}")
 
     rng = np.random.default_rng(42)
     v = vector_with_min_diff(N, 0, 1, 1.0 / N, rng)
@@ -149,28 +260,35 @@ def sort_bench(algo: str, N: int, ring_log: int, trials: int):
                 f"(log2={np.log2(max(max_err, 1e-300)):.2f}; gate 0.01)")
     best = min(times)
     base = BASELINE_HYBRID1.get(N) if algo == "hybrid1" else None
-    return {"metric": f"encrypted_sort_{algo}_N{N}_ring2e{ring_log}",
-            "value": round(best, 3), "unit": "s",
-            "vs_baseline": round(best / base, 4) if base else None,
-            "baseline_s": base, "max_err": max_err,
-            "trials": [round(x, 3) for x in times],
-            "security_logqp": logqp, "security_ok": ok}
+    rec = {"metric": f"encrypted_sort_{algo}_N{N}_ring2e{ring_log}",
+           "value": round(best, 3), "unit": "s",
+           "vs_baseline": round(best / base, 4) if base else None,
+           "baseline_s": base, "max_err": max_err,
+           "trials": [round(x, 3) for x in times],
+           "mults": ctx.mult_count, "rots": ctx.rot_count,
+           "security_logqp": logqp, "security_ok": ok,
+           "device_mem": device_mem_gb()}
+    if micro:
+        rec["micro"] = micro
+    return rec
 
 
 def main():
     algo = os.environ.get("BENCH_ALGO", "hybrid1")
-    N = int(os.environ.get("BENCH_N", "16"))
+    N = int(os.environ.get("BENCH_N", "128"))
     ring_log = int(os.environ.get("BENCH_RING", "17"))
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     log(f"[bench] devices={jax.devices()} algo={algo} N={N} "
         f"ring=2^{ring_log} trials={trials}")
 
     result = None
-    try:
-        ntt = ntt_bench(ring_log)
-    except Exception as e:          # pragma: no cover - defensive
-        log(f"[ntt] FAILED: {e!r}")
-        ntt = None
+    ntt = None
+    sort_err = None
+    if os.environ.get("BENCH_NTT", "1") != "0":
+        try:
+            ntt = ntt_bench(ring_log)
+        except Exception as e:      # pragma: no cover - defensive
+            log(f"[ntt] FAILED: {e!r}")
 
     if os.environ.get("BENCH_SORT", "1") != "0":
         try:
@@ -179,7 +297,16 @@ def main():
             import traceback
             traceback.print_exc(file=sys.stderr)
             log(f"[sort] FAILED: {e!r}")
+            sort_err = f"{type(e).__name__}: {e}"
 
+    if result is None and sort_err is not None:
+        # sort was requested and failed: surface the failure in the record
+        # AND in the exit status (round 2 masked this as an NTT success)
+        rec = ntt or {"metric": f"encrypted_sort_{algo}_N{N}",
+                      "value": None, "unit": "s", "vs_baseline": None}
+        rec["error"] = sort_err
+        print(json.dumps(rec))
+        sys.exit(1)
     print(json.dumps(result or ntt))
 
 

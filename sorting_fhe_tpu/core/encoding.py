@@ -136,7 +136,8 @@ def ntt_domain_exponents(n: int) -> np.ndarray:
 
     For the Longa–Naehrig iterative CT NTT with bit-reversed twiddles the
     output ordering is: slot j holds f(psi^{2*brv(j)+1}) where brv is the
-    log2(n)-bit reversal.  Verified empirically in tests/test_encoding.py.
+    log2(n)-bit reversal.  Checked against a direct polynomial evaluation
+    in tests/test_encoding.py::test_ntt_domain_exponent_convention.
     """
     from .nt import bit_reverse_indices
     rev = bit_reverse_indices(n)

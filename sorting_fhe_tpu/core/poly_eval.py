@@ -168,31 +168,37 @@ def _ps_eval(se: _SymEval, y: Ciphertext, c: np.ndarray, k: int):
 
 
 def eval_poly_linear(ctx: CkksContext, ct: Ciphertext, coeffs) -> Ciphertext:
-    """EvalPolyLinear: power-basis sum c_i x^i with binary powers.
+    """EvalPolyLinear: power-basis sum c_i x^i at depth ceil(log2 d).
 
-    coeffs[i] multiplies x^i (OpenFHE convention)."""
+    Matches OpenFHE's depth behaviour (the reference's f3/g3 depth-3
+    budget per degree-7 poly, mehp24_utils.cpp:137-184): each term
+    c_i x^i is an ascending chain over the power-of-two factors of i
+    with the scalar folded into the LOWEST factor, so the constant
+    multiply rides the first chain link instead of costing a level on
+    top of the finished power.  coeffs[i] multiplies x^i."""
     se = _SymEval(ctx)
     c = _trim(coeffs)
     d = len(c) - 1
     if d == 0:
         raise ValueError("constant polynomial")
-    powers: dict = {1: ct}
+    # x^(2^j) ladder by repeated squaring: depth j
+    sq: dict = {0: ct}
 
-    def get_pow(i: int):
-        if i in powers:
-            return powers[i]
-        if i % 2 == 0:
-            h = get_pow(i // 2)
-            powers[i] = ctx.square(h)
-        else:
-            powers[i] = ctx.mult(get_pow(i - 1), ct)
-        return powers[i]
+    def get_sq(j: int):
+        if j not in sq:
+            sq[j] = ctx.square(get_sq(j - 1))
+        return sq[j]
 
     acc = float(c[0])
     for i in range(1, d + 1):
         if c[i] == 0.0:
             continue
-        acc = se.add(acc, se.mul(get_pow(i), float(c[i])))
+        bits = [j for j in range(i.bit_length()) if i >> j & 1]
+        # fold the coefficient into the lowest power-of-two factor
+        term = se.mul(get_sq(bits[0]), float(c[i]))
+        for j in bits[1:]:
+            term = ctx.mult(term, get_sq(j))
+        acc = se.add(acc, term)
     return acc
 
 

@@ -39,9 +39,16 @@ def _build_sorter(ctx, algo: str, N: int, p):
               "hybrid2": ds.sort_hybrid2}[algo]
         return lambda ct: fn(ct, cfg)
     if algo == "mehp24":
-        from .models.mehp24 import sort_fg
-        dg = (int(np.log2(N)) + 1) // 2
-        return lambda ct: sort_fg(ctx, ct, N, dg, 2)
+        # comparison dg from the registry's sign ladder; indicator
+        # dg_i = (log2 N + 1)/2, df_i = 2
+        # (tests/mehp24/Mehp24SortTest.cpp:126-137)
+        from .models.mehp24 import sort_fg, sort_large_array_fg
+        _, dg_c, df_c = p.sign or (3, (int(np.log2(N)) + 1) // 2, 2)
+        dg_i = (int(np.log2(N)) + 1) // 2
+        if N > 256:
+            return lambda ct: sort_large_array_fg(
+                ctx, ct, N, 256, dg_c, df_c, dg_i, 2)
+        return lambda ct: sort_fg(ctx, ct, N, dg_c, df_c, dg_i, 2)
     if algo == "bitonic":
         from .models.bitonic import BitonicSort
         bs = BitonicSort(ctx, N, rot_indices=list(p.rotations))

@@ -72,10 +72,12 @@ def minimal_rotations(N: int, max_batch: int = 1 << 16) -> list[int]:
     """Power-of-two key set: every rotation the pipelines need composes
     from these via the binary decomposer.  ~2.5x fewer keys than the
     reference's single-hop tables — the HBM-fitting choice on one chip,
-    at the cost of ~1 extra key-switch per composed rotation."""
+    at the cost of ~1 extra key-switch per composed rotation.  Covers the
+    hybrid ladders too (sum/transpose-to-target steps are sums of powers
+    of two below N^2).  Enabled via DirectSort(use_minimal_keys=True)."""
     num_partition = min(N, max_batch // N)
-    num_slots = N * num_partition
-    return [1 << i for i in range(int(np.log2(num_slots)))]
+    num_slots = max(N * num_partition, min(N * N, 2 * max_batch) // 2)
+    return [1 << i for i in range(int(np.log2(num_slots)) + 1)]
 
 
 # baby-step counts (sort_algo.h:382-416 for constructRank;
@@ -107,17 +109,33 @@ def _rotate_list(vec: np.ndarray, k: int) -> np.ndarray:
 @dataclass
 class DirectSort:
     """Template-parameter N becomes a constructor arg; the crypto context
-    plays CryptoContext + keys."""
+    plays CryptoContext + keys.
+
+    use_minimal_keys: generate only the power-of-two key ladder
+    (minimal_rotations) and compose every other index through the binary
+    decomposer.  At full fidelity (depth 46, ring 2^17) the reference's
+    single-hop key set is ~40 keys x ~0.4 GiB — over a v5e chip's HBM —
+    while the pow-2 ladder fits comfortably at ~2.5x fewer keys, trading
+    ~1 extra key-switch per composed rotation."""
     ctx: CkksContext
     N: int
     rot_indices: list[int] = field(default_factory=list)
     sign_func: SignFunc = SignFunc.CompositeSign
+    use_minimal_keys: bool = False
 
     def __post_init__(self):
-        if not self.rot_indices:
+        if self.use_minimal_keys:
+            self.rot_indices = minimal_rotations(self.N, self.ctx.n // 2)
+        elif not self.rot_indices:
             self.rot_indices = DIRECT_SORT_ROTATIONS[self.N]
         self.ctx.gen_rotation_keys(self.rot_indices)
-        self.rot = RotationComposer(self.ctx, self.rot_indices, self.N,
+        # wrap bounds the binary recoder's bit range.  Registry mode keeps
+        # the reference's <N bound (every composed index there acts on
+        # N-periodic content; larger indices all have dedicated keys).
+        # Minimal-key mode composes arbitrary indices on num_slots-periodic
+        # content, so the recoder must emit bits up to the physical period.
+        wrap = self.ctx.n // 2 if self.use_minimal_keys else self.N
+        self.rot = RotationComposer(self.ctx, self.rot_indices, wrap,
                                     DecomposeAlgo.BINARY)
         self.max_batch = self.ctx.n // 2
 
@@ -360,6 +378,15 @@ class DirectSort:
         bits = int(np.log2(matrix_size))
         return [(index >> i) & 1 for i in range(bits - 1, -1, -1)]
 
+    def _ladder_rotate(self, c: Ciphertext, k: int) -> Ciphertext:
+        """Hybrid-ladder rotation: dedicated single-hop key in registry
+        mode (_gen_hybrid_keys), composed from the pow-2 ladder in
+        minimal-key mode (where the composer's wrap is the physical
+        period, so arbitrary indices recode correctly)."""
+        if self.use_minimal_keys:
+            return self.rot.rotate(c, k)
+        return self.ctx.rotate(c, k)
+
     def sum_columns_to_target(self, c: Ciphertext, matrix_size: int,
                               column_index: int,
                               mask_output: bool) -> Ciphertext:
@@ -370,7 +397,7 @@ class DirectSort:
         c = c.with_slots(ns)
         step = matrix_size >> 1
         for bit in self._binary_path(column_index, matrix_size):
-            c = ctx.add(c, ctx.rotate(c, -step if bit else step))
+            c = ctx.add(c, self._ladder_rotate(c, -step if bit else step))
             step >>= 1
         if mask_output:
             msk = np.zeros(ns)
@@ -388,7 +415,7 @@ class DirectSort:
         c = c.with_slots(ns)
         step = matrix_size * (matrix_size - 1) // 2
         for bit in self._binary_path(row_index, matrix_size):
-            c = ctx.add(c, ctx.rotate(c, -step if bit else step))
+            c = ctx.add(c, self._ladder_rotate(c, -step if bit else step))
             step >>= 1
         if mask_output:
             msk = np.zeros(ns)
@@ -409,7 +436,11 @@ class DirectSort:
         """Keys for exactly the ladder steps the hybrid stage performs:
         block b's ladders rotate by -step on 1-bits of b's path and +step
         on 0-bits, so only those signed steps need keys (HBM-conscious —
-        a full +- set at depth 46 would not fit one v5e chip)."""
+        a full +- set at depth 46 would not fit one v5e chip).  In
+        minimal-key mode no extra keys are generated at all: the ladder
+        rotations compose from the pow-2 set via the binary decomposer."""
+        if self.use_minimal_keys:
+            return
         half = self.ctx.n // 2
         asz = min(self.N, self.MAX_ARRAY_SIZE)
         _, num_batch = self._hybrid_geometry()
@@ -441,9 +472,9 @@ class DirectSort:
 
         r = ctx_rank.with_slots(num_slots)
         inp = input_array.with_slots(num_slots)
-        rots_rank = [ctx.rotate(r, b * self.MAX_ARRAY_SIZE)
+        rots_rank = [self._ladder_rotate(r, b * self.MAX_ARRAY_SIZE)
                      for b in range(num_batch)]
-        rots_input = [ctx.rotate(inp, b * self.MAX_ARRAY_SIZE)
+        rots_input = [self._ladder_rotate(inp, b * self.MAX_ARRAY_SIZE)
                       for b in range(num_batch)]
 
         result = None

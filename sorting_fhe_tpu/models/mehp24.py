@@ -226,14 +226,30 @@ def sort_cheb(ctx: CkksContext, c: Ciphertext, n: int,
     return S
 
 
+def _compare_fn(ctx: CkksContext, m: "Mehp24", dg_c: int, df_c: int,
+                sign_func: SignFunc | None, sign_cfg: SignConfig | None):
+    """Comparison kernel selector: f3/g3 iterations by default, or the
+    generic sign evaluator when a SignFunc config is given — the TPU
+    equivalents of the two sortFG overloads
+    (/root/reference/src/mehp24/mehp24_sort.h:37-45)."""
+    if sign_func is None:
+        return lambda a, b: m.compare_adv(a, b, dg_c, df_c)
+    cfg = sign_cfg or SignConfig()
+    return lambda a, b: sign_compare(ctx, a, b, sign_func, cfg)
+
+
 def sort_fg(ctx: CkksContext, c: Ciphertext, n: int,
-            dg_c: int, df_c: int, dg_i: int, df_i: int) -> Ciphertext:
+            dg_c: int, df_c: int, dg_i: int, df_i: int,
+            sign_func: SignFunc | None = None,
+            sign_cfg: SignConfig | None = None) -> Ciphertext:
     """Single-ciphertext sortFG (mehp24_sort.cpp:219-249): f3/g3-iteration
-    comparisons.  Sorted values land in the first n slots (row 0)."""
+    comparisons (or a SignFunc config via the overload args,
+    mehp24_sort.h:42-45).  Sorted values land in the first n slots (row 0)."""
     m = Mehp24(ctx, n)
+    cmp = _compare_fn(ctx, m, dg_c, df_c, sign_func, sign_cfg)
     VR = m.replicate_row(c)
     VC = m.replicate_column(m.transpose_row(c, True))
-    C = m.compare_adv(VR, VC, dg_c, df_c)
+    C = cmp(VR, VC)
     R = m.sum_rows(C)
     sub = np.repeat(-np.arange(n, dtype=np.float64) - 0.5, n)
     Rm = ctx.add(R, ctx.make_plaintext(sub, R.limbs, R.scale, n * n))
@@ -243,11 +259,14 @@ def sort_fg(ctx: CkksContext, c: Ciphertext, n: int,
 
 
 def sort_fg_multi(ctx: CkksContext, cts: list[Ciphertext], sub_len: int,
-                  dg_c: int, df_c: int, dg_i: int, df_i: int
-                  ) -> list[Ciphertext]:
+                  dg_c: int, df_c: int, dg_i: int, df_i: int,
+                  sign_func: SignFunc | None = None,
+                  sign_cfg: SignConfig | None = None) -> list[Ciphertext]:
     """Multi-ciphertext sortFG (mehp24_sort.cpp:284-443): upper-triangle
-    comparisons only, C_kj = 1 - C_jk reuse."""
+    comparisons only, C_kj = 1 - C_jk reuse.  SignFunc overload:
+    mehp24_sort.h:53-55."""
     m = Mehp24(ctx, sub_len)
+    cmp = _compare_fn(ctx, m, dg_c, df_c, sign_func, sign_cfg)
     num = len(cts)
     total = sub_len * num
 
@@ -258,7 +277,7 @@ def sort_fg_multi(ctx: CkksContext, cts: list[Ciphertext], sub_len: int,
     Ch: list = [None] * num
     for j in range(num):
         for k in range(j, num):
-            Cjk = m.compare_adv(repl_r[j], repl_c[k], dg_c, df_c)
+            Cjk = cmp(repl_r[j], repl_c[k])
             Cv[j] = Cjk if Cv[j] is None else ctx.add(Cv[j], Cjk)
             if j != k:
                 Ckj = ctx.rsub(1.0, Cjk)
@@ -322,9 +341,11 @@ def combine_ciphertext(ctx: CkksContext, parts: list[Ciphertext],
 
 def sort_large_array_fg(ctx: CkksContext, c: Ciphertext, total_len: int,
                         sub_len: int, dg_c: int, df_c: int, dg_i: int,
-                        df_i: int) -> Ciphertext:
+                        df_i: int, sign_func: SignFunc | None = None,
+                        sign_cfg: SignConfig | None = None) -> Ciphertext:
     """(mehp24_sort.cpp:607-625): split -> multi-ct sortFG -> combine.
-    Needs rotation keys for the +-i*sub_len strides."""
+    Needs rotation keys for the +-i*sub_len strides.  SignFunc overload:
+    mehp24_sort.h:63-66."""
     half = ctx.n // 2
     ctx.gen_rotation_keys(sorted({(i * sub_len) % half
                                   for i in range(1, total_len // sub_len)} |
@@ -332,5 +353,6 @@ def sort_large_array_fg(ctx: CkksContext, c: Ciphertext, total_len: int,
                                   for i in range(1, total_len // sub_len)}))
     parts = split_ciphertext(ctx, c, total_len, sub_len)
     parts = [p.with_slots(sub_len * sub_len) for p in parts]
-    sorted_parts = sort_fg_multi(ctx, parts, sub_len, dg_c, df_c, dg_i, df_i)
+    sorted_parts = sort_fg_multi(ctx, parts, sub_len, dg_c, df_c, dg_i, df_i,
+                                 sign_func, sign_cfg)
     return combine_ciphertext(ctx, sorted_parts, sub_len)

@@ -147,22 +147,39 @@ def composite_sign(ctx: CkksContext, x: Ciphertext, cfg: SignConfig,
     return y
 
 
-def signum_polycircuit(ctx: CkksContext, x: Ciphertext) -> Ciphertext:
-    """Degree-1023 Chebyshev series of sign(x) on [-1, 1]
-    (reference sign.cpp:189-608, the FHERMA polycircuit entry).
+def signum_polycircuit_coefficients(exact: bool = True):
+    """Degree-1023 Chebyshev coefficient table of sign(x) on [-1, 1].
 
-    The reference hardcodes the fitted coefficients and hand-unrolls the
-    tail terms T1009..T1023 around OpenFHE's series-degree limit; our
-    Paterson-Stockmeyer evaluator takes the full degree directly, and the
-    coefficients are regenerated from the same Chebyshev interpolation of
-    sign (they agree with the reference's constants to ~1e-5 — well under
-    the 0.01 sort gate; the reference's values come from an external
+    exact=True (default) loads the reference's verbatim constants
+    (sign.cpp:191-445 main series + the hand-unrolled tail terms
+    T1009..T1023, sign.cpp:469-571, assembled into one vector) — numeric
+    spec data, kept for bit-level test-vector parity.  exact=False
+    regenerates them from the same Chebyshev interpolation of sign
+    (agrees to ~1e-5; the reference's values come from an external
     fitting tool with a slightly different node count)."""
+    import os
     import numpy as np
+    if exact:
+        path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                            "data", "signum_polycircuit_coeffs.npy")
+        if os.path.exists(path):
+            return np.load(path)
     from ..core.poly_eval import chebyshev_coefficients
     coeffs = chebyshev_coefficients(np.sign, -1.0, 1.0, 1023)
     coeffs[0::2] = 0.0          # sign is odd: exact zeros, kills noise
-    return eval_chebyshev_series_ps(ctx, x, coeffs)
+    return coeffs
+
+
+def signum_polycircuit(ctx: CkksContext, x: Ciphertext,
+                       exact: bool = True) -> Ciphertext:
+    """Degree-1023 Chebyshev series of sign(x) on [-1, 1]
+    (reference sign.cpp:189-608, the FHERMA polycircuit entry).
+
+    The reference hand-unrolls the tail terms T1009..T1023 around
+    OpenFHE's series-degree limit; our Paterson-Stockmeyer evaluator
+    takes the full degree directly with the same coefficients."""
+    return eval_chebyshev_series_ps(
+        ctx, x, signum_polycircuit_coefficients(exact))
 
 
 def naive_discrete_sign(ctx: CkksContext, x: Ciphertext) -> Ciphertext:

@@ -124,9 +124,14 @@ _H2_DEPTH = {4: 24, 8: 25, 16: 25, 32: 29, 64: 30, 128: 31, 256: 35,
              512: 36, 1024: 40}
 
 # MEHP24 fixture depths: Mehp24SortTest.cpp:39-72 (rotation set computed by
-# mehp24.rotation_indices at runtime, mehp24_utils.cpp:186-213)
-_MEHP_DEPTH = {4: 31, 8: 35, 16: 35, 32: 42, 64: 42, 128: 46, 256: 49,
-               512: 57, 1024: 60, 2048: 64}
+# mehp24.rotation_indices at runtime, mehp24_utils.cpp:186-213), +3 levels
+# of measured TPU-chain overhead: our sortFG consumes 34 levels at N=4 vs
+# the fixture's 31 (the masked-transpose input enters the compare chain at
+# noise degree 2, and the exact-scale adjustment machinery burns two more
+# across the pipeline).  hybrid1/hybrid2/direct match their fixtures
+# exactly.
+_MEHP_DEPTH = {4: 34, 8: 38, 16: 38, 32: 45, 64: 45, 128: 49, 256: 52,
+               512: 60, 1024: 63, 2048: 67}
 
 
 def _build() -> dict[tuple[str, int], SortParams]:

@@ -45,6 +45,27 @@ def test_hybrid1_plain_large_multiblock():
     assert np.abs(got - want).max() < 1e-2
 
 
+@pytest.mark.parametrize("variant,N,ring", [
+    ("sort", 16, 1 << 12),
+    ("sort_hybrid1", 16, 1 << 12),
+    ("sort_hybrid1", 128, 1 << 17),   # the bench's minimal-key geometry
+    ("sort_hybrid2", 8, 1 << 10),
+])
+def test_minimal_keys_plain(variant, N, ring):
+    """use_minimal_keys: every rotation composes from the pow-2 ladder.
+    PlainContext rotations are exact, so any decomposition error (wrong
+    wrap, missing bit) shows up as a mis-sorted vector."""
+    ctx = PlainContext(ring)
+    vals = vector_with_min_diff(N, 0, 1, 1.0 / N, RNG)
+    ct = ctx.encrypt(vals, slots=N)
+    ds = DirectSort(ctx, N, use_minimal_keys=True)
+    from sorting_fhe_tpu.models.direct_sort import minimal_rotations
+    assert set(ds.rot_indices) == set(minimal_rotations(N, ring // 2))
+    out = getattr(ds, variant)(ct, SignConfig(CompositeSignConfig(3, 8, 3)))
+    got = ctx.decrypt(out)[:N]
+    assert np.abs(got - np.sort(vals)).max() < 1e-2
+
+
 def test_sum_columns_to_target_plain():
     """sumColumnsToTarget/transposeColumnTarget geometry on a known matrix
     (sort_algo.h:824-891)."""
@@ -77,7 +98,10 @@ def test_sum_columns_to_target_plain():
 def test_hybrid1_encrypted_n4():
     from sorting_fhe_tpu.core.ckks import CkksContext
     from sorting_fhe_tpu.core.params import CkksConfig
-    ctx = CkksContext(CkksConfig(ring_dim=1 << 10, mult_depth=36,
+    # depth 31 = the reference's own N=4 hybrid1 budget
+    # (tests/DirectSortH1Test.cpp:40-113) — reachable since
+    # eval_poly_linear folds coefficients into the power chains
+    ctx = CkksContext(CkksConfig(ring_dim=1 << 10, mult_depth=31,
                                  scale_bits=52, comp=2, dnum=6))
     N = 4
     vals = vector_with_min_diff(N, 0, 1, 1.0 / N, RNG)

@@ -77,6 +77,30 @@ def test_signum_polycircuit(ctx):
     assert err < 0.05, err
 
 
+def test_signum_polycircuit_coefficient_parity():
+    """The exact table IS the reference's constant vector: spot-check the
+    values transcribed from sign.cpp:191-445 (main series) and the
+    hand-unrolled tails T1009..T1023 (sign.cpp:469-571), and confirm the
+    regenerated fit agrees to ~1e-4 everywhere."""
+    from sorting_fhe_tpu.ops.sign import signum_polycircuit_coefficients
+    exact = signum_polycircuit_coefficients(exact=True)
+    assert len(exact) == 1024
+    assert exact[1] == 1.273238551875655            # sign.cpp:192
+    assert exact[3] == -0.42441020299615195
+    assert exact[1009] == 5.3627954846304366e-05    # sign.cpp:470 (T1009)
+    assert exact[1021] == 1.7871969994745013e-05    # sign.cpp:535 (T1021)
+    assert exact[1023] == -1.1914460923282231e-05   # sign.cpp:571 (T1023)
+    assert np.all(exact[0::2] == 0.0)               # odd function
+    # the reference's constants follow the ANALYTIC Chebyshev series of
+    # sign (c1 = 4/pi); our regenerated fit interpolates at 1024 nodes, so
+    # the tail aliases — informational agreement profile only (the exact
+    # table is the default)
+    assert abs(exact[1] - 4.0 / np.pi) < 1e-6
+    regen = signum_polycircuit_coefficients(exact=False)
+    assert np.abs(exact - regen)[:100].max() < 2e-4
+    assert np.abs(exact - regen).max() < 2e-3
+
+
 def test_compare(ctx):
     s = ctx.params.num_slots
     a = RNG.uniform(0, 1, s)
