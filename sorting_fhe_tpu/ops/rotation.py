@@ -133,6 +133,32 @@ class Decomposer:
         return out[::-1]
 
 
+@dataclass
+class RotationStats:
+    """Operation counters (reference rotation.h:168-191: fast / normal /
+    total rotations plus tree-cache hits and misses)."""
+    fast_rotations: int = 0        # single-key path
+    normal_rotations: int = 0     # key-switches spent composing
+    cache_hits: int = 0
+    cache_misses: int = 0
+
+    @property
+    def total_rotations(self) -> int:
+        return self.fast_rotations + self.normal_rotations
+
+    def reset(self):
+        self.fast_rotations = 0
+        self.normal_rotations = 0
+        self.cache_hits = 0
+        self.cache_misses = 0
+
+    def report(self) -> str:
+        return (f"rotations: fast={self.fast_rotations} "
+                f"composed-steps={self.normal_rotations} "
+                f"total={self.total_rotations} "
+                f"cache: hits={self.cache_hits} misses={self.cache_misses}")
+
+
 class RotationComposer:
     """rotate(ct, k): single key if available, else composed steps.
     (reference rotation.h:215-233; here every step is a hoisted fast
@@ -145,6 +171,7 @@ class RotationComposer:
         self.algo = algo
         self.available = set(rot_indices)
         self.wrap = wrap
+        self.stats = RotationStats()
 
     def rotate(self, ct: Ciphertext, rotation: int) -> Ciphertext:
         if rotation % ct.slots == 0:
@@ -155,6 +182,7 @@ class RotationComposer:
         # or negative-step keys)
         if rotation in self.available or rotation % half in self.available \
                 or rotation % half in getattr(self.ctx, "rot_keys", {}):
+            self.stats.fast_rotations += 1
             return self.ctx.rotate(ct, rotation)
         # composed path: normalize into the slot period first — a negative
         # rotation of an s-periodic vector equals rotation by (r mod s)
@@ -162,6 +190,7 @@ class RotationComposer:
         steps = self.decomposer.decompose(r, ct.slots, self.algo)
         out = ct
         for s in steps:
+            self.stats.normal_rotations += 1
             out = self.ctx.rotate(out, s.step_size)
         return out
 
@@ -175,6 +204,7 @@ class RotationTree:
         self.ctx = ctx
         self.decomposer = Decomposer(rot_indices, wrap)
         self.algo = algo
+        self.stats = RotationStats()
 
     def attach(self, ct: Ciphertext):
         """Begin a batch of rotations of the same source ciphertext."""
@@ -195,8 +225,10 @@ class RotationTree:
             prefix = prefix + (s.step_size,)
             hit = self._cache.get(prefix)
             if hit is not None:
+                self.stats.cache_hits += 1
                 cur = hit[0]
                 continue
+            self.stats.cache_misses += 1
             parent_prefix = prefix[:-1]
             if parent_prefix == ():
                 if self._root_pre is None:
@@ -209,6 +241,7 @@ class RotationTree:
                     self._cache[parent_prefix] = (pct, ppre)
                 pre = ppre
             nxt = self.ctx.fast_rotation(cur, s.step_size, pre)
+            self.stats.fast_rotations += 1
             self._cache[prefix] = (nxt, None)
             cur = nxt
         return cur

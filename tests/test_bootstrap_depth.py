@@ -1,0 +1,57 @@
+"""Bootstrap at depth: the reference's real consumption regimes, un-gated.
+
+Round-2 verdict item: exercise the REAL Bootstrapper (not recrypt_hook)
+behind the two production triggers —
+
+  * BitonicSort boots when consumed level > 29 on a depth-58 chain
+    (/root/reference/src/sort_algo.h:1436-1438, BitonicSortTest.cpp:54)
+  * k-way checkLevelAndBoot inside a k=2 M=4 (N=16) network at depth 40
+    (/root/reference/src/k-way/EvalUtils.cpp:57-94, kway_adapter.h:41-64)
+
+at ring 2^12 with sparse secrets, in the default suite (no slow gate).
+"""
+
+import numpy as np
+
+from sorting_fhe_tpu.core.params import CkksConfig
+from sorting_fhe_tpu.core.ckks import CkksContext
+from sorting_fhe_tpu.core.bootstrap import BootstrapHook
+from sorting_fhe_tpu.ops.sign import SignConfig, CompositeSignConfig
+
+
+def test_bitonic_n16_real_bootstrap_ring12():
+    from sorting_fhe_tpu.models.bitonic import BitonicSort
+
+    cfg = CkksConfig(ring_dim=1 << 12, mult_depth=58, scale_bits=52, comp=2,
+                     dnum=6, secret_hw=32)
+    ctx = CkksContext(cfg)
+    N = 16
+    bs = BitonicSort(ctx, N, bootstrap_level=29,
+                     bootstrap_hook=BootstrapHook(ctx))
+    rng = np.random.default_rng(11)
+    v = (rng.permutation(N).astype(np.float64) + 1.0) * 255.0 / (N + 1)
+    ct = ctx.encrypt(v, slots=N)
+    out = bs.sort(ct, SignConfig(CompositeSignConfig(3, 2, 2),
+                                 mult_depth=cfg.mult_depth))
+    got = ctx.decrypt(out)[:N]
+    # 0.01 normalized gate on the 0..255 scale (tests/BitonicSortTest.cpp)
+    assert np.abs(got - np.sort(v)).max() < 255.0 * 0.01
+
+
+def test_kway_k2_m4_real_bootstrap_ring12():
+    from sorting_fhe_tpu.models.kway import KWaySorter
+    from sorting_fhe_tpu.utils.testvec import vector_with_min_diff
+
+    cfg = CkksConfig(ring_dim=1 << 12, mult_depth=40, scale_bits=52, comp=2,
+                     dnum=6, secret_hw=32)
+    ctx = CkksContext(cfg)
+    N = 16
+    sorter = KWaySorter(ctx, 2, 4, mult_depth=cfg.mult_depth,
+                        bootstrap_hook=BootstrapHook(ctx))
+    rng = np.random.default_rng(12)
+    v = vector_with_min_diff(N, 0, 1, 1.0 / N, rng)
+    ct = ctx.encrypt(v, slots=N)
+    out = sorter.sort(ct, SignConfig(CompositeSignConfig(3, 2, 5),
+                                     mult_depth=cfg.mult_depth))
+    got = ctx.decrypt(out)[:N]
+    assert np.abs(got - np.sort(v)).max() < 0.01

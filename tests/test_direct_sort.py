@@ -80,6 +80,35 @@ def test_decomposer_wrap_elision():
     assert steps == []
 
 
+def test_rotation_stats_counters():
+    """RotationStats fast/composed/total + tree cache hit/miss counters
+    (reference rotation.h:168-191)."""
+    from sorting_fhe_tpu.ops.rotation import RotationComposer, RotationTree
+    from sorting_fhe_tpu.utils.plain import PlainContext
+
+    ctx = PlainContext(1 << 10)
+    v = np.arange(16, dtype=np.float64)
+    ct = ctx.encrypt(v, slots=16)
+
+    comp = RotationComposer(ctx, [1, 2, 4, 8], 512, DecomposeAlgo.BINARY)
+    comp.rotate(ct, 2)                  # exact key -> fast path
+    comp.rotate(ct, 7)                  # 4+2+1 -> 3 composed steps
+    assert comp.stats.fast_rotations == 1
+    assert comp.stats.normal_rotations == 3
+    assert comp.stats.total_rotations == 4
+    assert "total=4" in comp.stats.report()
+
+    tree = RotationTree(ctx, [1, 2, 4, 8], 512, DecomposeAlgo.BINARY)
+    tree.attach(ct)
+    tree.rotate(12)                     # 8+4: two misses
+    tree.rotate(14)                     # 8+4 prefix cached, +2: 2 hits 1 miss
+    assert tree.stats.cache_misses == 3
+    assert tree.stats.cache_hits == 2
+    assert tree.stats.fast_rotations == 3
+    comp.stats.reset()
+    assert comp.stats.total_rotations == 0
+
+
 # ---------------- tier 3: encrypted component / end-to-end ----------------
 
 SLOW = os.environ.get("SORTING_FHE_RUN_SLOW") != "1"
