@@ -173,14 +173,20 @@ def get_params(algo: str, N: int) -> SortParams:
 
 def _dnum_for(depth: int, ring_dim: int) -> int:
     """Smallest dnum whose special-prime block keeps logQP within (or as
-    close as possible to) the 128-bit ceiling."""
+    close as possible to) the 128-bit ceiling.
+
+    Prime-size constants calibrated against the built chains: the adaptive
+    scaling primes average ~27 bits (not the nominal 26 — the canonical-
+    scale ladder alternates above/below 2^26) and special primes are
+    ~31 bits.  Round 2's 26/30-bit estimate picked dnum=3 for depth 46,
+    whose real chain measured logQP 3547 > 3523."""
     limit = HESTD_128_CLASSIC_LOGQP.get(ring_dim)
     best = 3
     for dnum in (3, 4, 5, 6, 8):
         nq = 3 + 2 * depth                      # base(3x30b) + depth pairs
-        logq = 3 * 30 + 2 * depth * 26
+        logq = 3 * 30 + 2 * depth * 27
         ksp = -(-nq // dnum)
-        logqp = logq + ksp * 30
+        logqp = logq + ksp * 31
         best = dnum
         if limit is None or logqp <= limit:
             break
