@@ -176,8 +176,10 @@ def micro_bench(ctx, limbs=None):
         return body
 
     # step sweep mirrors RotationBenchmark.cpp:8-53 (1..14 composed steps
-    # vs hoisted); trimmed to 3 points to bound first-run compile time
-    for m in (1, 4, 14):
+    # vs hoisted); trimmed to 2 points to bound first-run compile time
+    # (each m-step chain body is a separate ~minutes-long XLA compile at
+    # ring 2^17)
+    for m in (1, 4):
         out[f"rot_composed_{m}_ms"] = marginal(
             lambda m=m: rot_chain(m, False), lo=1, hi=3) * 1e3
         out[f"rot_hoisted_{m}_ms"] = marginal(
@@ -242,13 +244,24 @@ def sort_bench(algo: str, N: int, ring_log: int, trials: int):
                "hybrid1": ds.sort_hybrid1, "hybrid2": ds.sort_hybrid2}[algo]
     cfg_sign = p.sign_config()
 
+    profile_dir = os.environ.get("BENCH_PROFILE")
     times = []
     max_err = None
     for t in range(trials):
+        prof = None
+        if profile_dir and t == trials - 1:
+            try:                    # optional: tunnel backends may refuse
+                jax.profiler.start_trace(profile_dir)
+                prof = True
+            except Exception as e:
+                log(f"[profile] unavailable: {e!r}")
         t0 = time.time()
         out = sort_fn(ct, cfg_sign)
         sync(out.data)
         dt = time.time() - t0
+        if prof:
+            jax.profiler.stop_trace()
+            log(f"[profile] trace written to {profile_dir}")
         times.append(dt)
         log(f"[sort] trial {t}: {dt:.2f}s  mults={ctx.mult_count} "
             f"rots={ctx.rot_count}  {device_mem_gb()}")

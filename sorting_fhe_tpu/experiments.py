@@ -181,7 +181,15 @@ def main(argv=None):
                     help="log2 ring dimension (>=16 selects the "
                          "full-fidelity registry tier)")
     ap.add_argument("--outdir", default="experimental_results")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the CPU backend (the session's sitecustomize "
+                         "re-registers a TPU tunnel that jax.config must "
+                         "override before backend init)")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     sizes = [int(s) for s in args.sizes.split(",")]
     os.makedirs(args.outdir, exist_ok=True)
