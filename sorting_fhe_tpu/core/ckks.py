@@ -783,6 +783,26 @@ class CkksContext:
     def _ensure_deg1(self, ct: Ciphertext) -> Ciphertext:
         return self.rescale(ct) if ct.noise_deg == 2 else ct
 
+    def _anchor(self, ct: Ciphertext) -> Ciphertext:
+        """Bound FLEXIBLEAUTO scale drift before multiplications.
+
+        Squaring DOUBLES the log-deviation of the exact scale from the
+        canonical ladder each step, so any seed drift (bootstrap output
+        lands ~1% off; plaintext mults at Delta != S[l] add more) grows
+        double-exponentially through long sign chains — bitonic's
+        repeated bootstrap->sign cycles ran scales to inf/0 (round-3
+        debug).  When a deg-1 ct deviates by more than sqrt(2), spend one
+        level to land back on canonical — the OpenFHE adjust-scale
+        analogue.  Normal sort flows stay within ~5% and never trigger."""
+        if ct.noise_deg != 1 or \
+                ct.limbs - self.params.comp < self.params.base_limbs:
+            return ct
+        r = ct.scale / self.canonical_scale(ct.limbs)
+        if 0.7071 < r < 1.4142:
+            return ct
+        t = ct.limbs - self.params.comp
+        return self.adjust_to(ct, t, self.canonical_scale(t))
+
     def adjust_to(self, ct: Ciphertext, target_limbs: int,
                   target_scale: float) -> Ciphertext:
         """Bring ct to (target_limbs, ~target_scale) exactly: drop limbs,
@@ -803,6 +823,11 @@ class CkksContext:
         for i in range(ct.limbs - comp, ct.limbs):
             qd *= float(self.params.q[i])
         m = int(round(target_scale * qd / ct.scale))
+        # a zero multiplier would silently zero the ciphertext (observed
+        # with runaway scale drift before _anchor existed); fail loudly
+        assert m >= 1, (
+            f"adjust_to multiplier underflow: scale={ct.scale:.6g} "
+            f"target={target_scale:.6g} qd={qd:.6g}")
         w, wsh = self._scalar_limb_consts(m, ct.limbs)
         T = self.tables(ct.limbs)
         data = _kj_const_mul(ct.data, w, wsh, T.q_p)
@@ -943,8 +968,8 @@ class CkksContext:
         return self.mult_scalar(a, float(b))
 
     def _prep_mult(self, a: Ciphertext, b: Ciphertext):
-        a = self._ensure_deg1(a)
-        b = self._ensure_deg1(b)
+        a = self._anchor(self._ensure_deg1(a))
+        b = self._anchor(self._ensure_deg1(b))
         if a.limbs > b.limbs:
             a = self.adjust_to(a, b.limbs, self.canonical_scale(b.limbs)) \
                 if abs(a.scale / b.scale - 1) > SCALE_TOL else \
@@ -964,7 +989,7 @@ class CkksContext:
         return Ciphertext(d, a.scale * b.scale, 2, a.slots)
 
     def square(self, a: Ciphertext) -> Ciphertext:
-        a = self._ensure_deg1(a)
+        a = self._anchor(self._ensure_deg1(a))
         T = self.tables(a.limbs)
         d = _kj_square_relin(a.data, self.relin_key, T)
         self.mult_count += 1
