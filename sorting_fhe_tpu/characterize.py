@@ -75,7 +75,10 @@ def characterize_function(ctx: CkksContext, func: SignFunc, cfg: SignConfig,
             metrics.working_precision = step * 10
             return metrics
         step /= 10
-    metrics.working_precision = step * 10
+    # sweep exhausted max_decades without a failure: report the reference's
+    # never-failed sentinel (sign_characterizer.cpp: workingPrecision stays
+    # 0.0) so a saturated sweep is distinguishable from a genuine failure
+    metrics.working_precision = 0.0
     return metrics
 
 

@@ -20,7 +20,7 @@ import numpy as np
 
 from ..core.ckks import CkksContext, Ciphertext
 from ..core.poly_eval import eval_poly_linear, eval_chebyshev_function
-from ..ops.sign import SignFunc, SignConfig
+from ..ops.sign import SignFunc, SignConfig, CompositeSignConfig
 from ..ops.comparison import compare as sign_compare
 
 
@@ -234,7 +234,9 @@ def _compare_fn(ctx: CkksContext, m: "Mehp24", dg_c: int, df_c: int,
     (/root/reference/src/mehp24/mehp24_sort.h:37-45)."""
     if sign_func is None:
         return lambda a, b: m.compare_adv(a, b, dg_c, df_c)
-    cfg = sign_cfg or SignConfig()
+    # default-construct like the reference's SignConfig() (sign.h:25):
+    # SignConfig here has no compos default, so supply one explicitly
+    cfg = sign_cfg or SignConfig(CompositeSignConfig())
     return lambda a, b: sign_compare(ctx, a, b, sign_func, cfg)
 
 

@@ -34,6 +34,20 @@ def test_mehp24_sortfg_plain(N):
     assert np.abs(got - np.sort(v)).max() < 0.01
 
 
+def test_mehp24_sortfg_signfunc_default_cfg():
+    """The SignFunc overload with sign_cfg omitted must default-construct
+    (reference SignConfig() default-constructs, sign.h:25) — regression for
+    the round-3 TypeError (ADVICE r3, mehp24.py:237)."""
+    from sorting_fhe_tpu.ops.sign import SignFunc
+    ctx = PlainContext(1 << 12)
+    N = 4
+    v = vector_with_min_diff(N, 0, 1, 1.0 / N, RNG)
+    out = M.sort_fg(ctx, ctx.encrypt(v, slots=N * N), N, 2, 2, 2, 2,
+                    sign_func=SignFunc.CompositeSign)
+    got = ctx.decrypt(out)[:N]
+    assert np.abs(got - np.sort(v)).max() < 0.01
+
+
 def test_mehp24_multi_and_large_plain():
     ctx = PlainContext(1 << 12)
     v = vector_with_min_diff(32, 0, 1, 1.0 / 32, RNG)
