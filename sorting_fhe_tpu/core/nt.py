@@ -141,6 +141,29 @@ def nearest_ntt_prime(target: float, ring_dim: int,
     raise RuntimeError(f"no NTT prime near {target}")
 
 
+@lru_cache(maxsize=None)
+def ntt_prime_pool(ring_dim: int, max_bits: int = 31) -> tuple[int, ...]:
+    """ALL NTT-friendly primes (≡ 1 mod 2*ring_dim) below 2^max_bits,
+    ascending.
+
+    The composite-rescale chain builder consumes from this global pool:
+    at ring 2^17 primes are ~2^18 apart, so e.g. only ~10 26-bit primes
+    exist — a deep chain that insists on balanced 26+26-bit level pairs
+    EXHAUSTS them and the canonical-scale ladder death-spirals (observed
+    at depth 46: canonical scales ran to 2^-1000 below limb 21)."""
+    m = 2 * ring_dim
+    out = []
+    k = 1
+    while True:
+        p = k * m + 1
+        if p >= (1 << max_bits):
+            break
+        if p > (1 << 19) and is_prime(p):
+            out.append(p)
+        k += 1
+    return tuple(out)
+
+
 def bit_reverse_indices(n: int) -> np.ndarray:
     bits = n.bit_length() - 1
     idx = np.arange(n, dtype=np.int64)

@@ -19,6 +19,7 @@ choice (no 64-bit integer datapath).
 from __future__ import annotations
 
 import functools
+import math
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -54,6 +55,15 @@ class CkksConfig:
     # secret key Hamming weight: None = uniform ternary; an int enables the
     # sparse-ternary secret bootstrapping needs (core/bootstrap.py)
     secret_hw: int | None = None
+    # limb-count bucketing: pad ciphertext towers to the next multiple of
+    # `limb_pad` limbs inside the jitted kernels, collapsing the ~L distinct
+    # limb counts of a deep chain to ~L/limb_pad compiled shapes per kernel
+    # (the round-3 compile explosion: ~46 limb counts x ~8 kernels x 30-60 s
+    # of XLA compile each).  Rows in [logical_limbs, bucket) hold garbage
+    # residues of SOME value ≡ the ciphertext mod Q_l — every kernel is
+    # residue-wise mod arithmetic, so results sliced to the logical limbs
+    # are exact.  1 = exact shapes (no padding).
+    limb_pad: int = 1
 
 
 # legacy alias: minimum base limbs (actual value is params.base_limbs)
@@ -81,29 +91,67 @@ class CkksParams:
         self.base_limbs = max(2, -(-(cfg.scale_bits + 20) // cfg.base_mod_bits))
         base = nt.find_ntt_primes(cfg.base_mod_bits, self.base_limbs, n)
         delta = float(2 ** cfg.scale_bits)
-        sub_bits = cfg.scale_bits / comp
         avoid = set(base)
         qs_rev = []  # built top-down: first entries dropped first
         S = delta
-        for _ in range(L):
-            target = S * S / delta          # product this level must hit
-            level_primes = []
-            for j in range(comp):
-                if j < comp - 1:
-                    p = nt.nearest_ntt_prime(2.0 ** sub_bits, n, avoid)
-                else:
-                    rem = target
-                    for pp in level_primes:
-                        rem /= pp
-                    p = nt.nearest_ntt_prime(rem, n, avoid)
-                avoid.add(p)
-                level_primes.append(p)
-            prod = 1.0
-            for pp in level_primes:
-                prod *= pp
-            S = S * S / prod
-            # drop order within the level is arbitrary; append in order
-            qs_rev.extend(level_primes)
+        if comp == 2:
+            # Pool-based PAIR picker.  Balanced sub_bits pairs exhaust the
+            # sparse mid-size NTT primes on deep chains (at ring 2^17 only
+            # ~10 26-bit primes exist) and the ladder recursion
+            # S' = S^2/prod then diverges double-exponentially.  Instead
+            # pick, per level, the remaining-pool PAIR whose product is
+            # nearest S^2/Delta — unbalanced splits like 29+27 tap the
+            # dense top of the pool and keep |log2(S/Delta)| ~ 2^-10
+            # down the whole chain.
+            import bisect
+            pool = [p for p in nt.ntt_prime_pool(n) if p not in avoid]
+            for _ in range(L):
+                target = S * S / delta
+                lt = math.log2(target)
+                best = None
+                for i, p1 in enumerate(pool):
+                    ideal = target / p1
+                    if ideal < pool[0] * 0.5:
+                        break              # pool ascending: only worse
+                    if ideal >= (1 << 31):
+                        continue
+                    j = bisect.bisect_left(pool, int(ideal))
+                    for jj in (j - 1, j, j + 1):
+                        if jj < 0 or jj >= len(pool) or jj == i:
+                            continue
+                        p2 = pool[jj]
+                        err = abs(math.log2(p1) + math.log2(p2) - lt)
+                        if best is None or err < best[0]:
+                            best = (err, p1, p2)
+                assert best is not None, "NTT prime pool exhausted"
+                _, p1, p2 = best
+                pool.remove(p1)
+                pool.remove(p2)
+                # smaller prime drops second (order within level arbitrary)
+                level_primes = sorted((p1, p2), reverse=True)
+                S = S * S / (float(p1) * float(p2))
+                qs_rev.extend(level_primes)
+        else:
+            sub_bits = cfg.scale_bits / comp
+            for _ in range(L):
+                target = S * S / delta      # product this level must hit
+                level_primes = []
+                for j in range(comp):
+                    if j < comp - 1:
+                        p = nt.nearest_ntt_prime(2.0 ** sub_bits, n, avoid)
+                    else:
+                        rem = target
+                        for pp in level_primes:
+                            rem /= pp
+                        p = nt.nearest_ntt_prime(rem, n, avoid)
+                    avoid.add(p)
+                    level_primes.append(p)
+                prod = 1.0
+                for pp in level_primes:
+                    prod *= pp
+                S = S * S / prod
+                # drop order within the level is arbitrary; append in order
+                qs_rev.extend(level_primes)
         self.q: list[int] = base + qs_rev[::-1]
         self.nq = len(self.q)
 

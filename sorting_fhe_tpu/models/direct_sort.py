@@ -26,7 +26,7 @@ from ..core.ckks import CkksContext, Ciphertext
 from ..core.poly_eval import eval_chebyshev_series_ps
 from ..ops.sign import SignFunc, SignConfig, CompositeSignConfig
 from ..ops.comparison import compare, indicator as _indicator
-from ..ops.rotation import RotationComposer, DecomposeAlgo
+from ..ops.rotation import RotationComposer, RotationTree, DecomposeAlgo
 from ..ops.chebyshev import doubled_sinc_coefficients, sinc_coefficients
 from .mehp24 import indicator_adv as _indicator_adv
 
@@ -68,16 +68,27 @@ DIRECT_SORT_ROTATIONS[2048] = (
     [1, 2, 4, 8, 16, 31, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192,
      16384, 32768])
 
-def minimal_rotations(N: int, max_batch: int = 1 << 16) -> list[int]:
+def minimal_rotations(N: int, max_batch: int = 1 << 16,
+                      cap_log2: int = 10) -> list[int]:
     """Power-of-two key set: every rotation the pipelines need composes
     from these via the binary decomposer.  ~2.5x fewer keys than the
     reference's single-hop tables — the HBM-fitting choice on one chip,
     at the cost of ~1 extra key-switch per composed rotation.  Covers the
     hybrid ladders too (sum/transpose-to-target steps are sums of powers
-    of two below N^2).  Enabled via DirectSort(use_minimal_keys=True)."""
+    of two below N^2).  Enabled via DirectSort(use_minimal_keys=True).
+
+    cap_log2 bounds the top key at 2^cap_log2: each keyswitch key is
+    ~0.5 GiB at ring 2^17/dnum 4, and the few large tree-reduction
+    rotations (2^11..2^13 at N=128) compose from repeated 2^cap_log2
+    steps — ~2 dozen extra key-switches per sort buys ~1.5 GiB of HBM
+    next to the 16 GiB v5e's 7.5 GiB key set (round-4 OOM budget)."""
     num_partition = min(N, max_batch // N)
     num_slots = max(N * num_partition, min(N * N, 2 * max_batch) // 2)
-    return [1 << i for i in range(int(np.log2(num_slots)) + 1)]
+    # top exponent is num_slots/2: composed rotations are always reduced
+    # mod num_slots, so a key at exactly num_slots is either dropped
+    # (kk==0) or dead weight (~0.4 GiB at ring 2^17)
+    top = min(int(np.log2(num_slots)), cap_log2 + 1)
+    return [1 << i for i in range(top)]
 
 
 # baby-step counts (sort_algo.h:382-416 for constructRank;
@@ -137,7 +148,19 @@ class DirectSort:
         wrap = self.ctx.n // 2 if self.use_minimal_keys else self.N
         self.rot = RotationComposer(self.ctx, self.rot_indices, wrap,
                                     DecomposeAlgo.BINARY)
+        # hoisting tree for baby-step batches: rotations of one source
+        # share decomposition prefixes and hoisting precomputes
+        # (reference rotation.h:240-358; wired per VERDICT r3 #8)
+        self.tree = RotationTree(self.ctx, self.rot_indices, wrap,
+                                 DecomposeAlgo.BINARY)
         self.max_batch = self.ctx.n // 2
+
+    def _batch_rotate(self, src: Ciphertext, indices) -> list[Ciphertext]:
+        """Rotate one source by many indices with shared hoisting
+        (EvalFastRotationPrecompute shared across same-source rotations,
+        reference rotation.h:285-348)."""
+        self.tree.attach(src)
+        return [self.tree.rotate(i) for i in indices]
 
     # ---------------- mask generators (sort_algo.h:203-287) ----------------
     def _mask(self, num_slots: int, k: int, width: int) -> np.ndarray:
@@ -185,9 +208,10 @@ class DirectSort:
         num_slots = N * num_partition
         np_ = min(_NP_RANK[N], num_partition)
 
-        # baby-step pre-rotations of the input
-        babies = [self.rot.rotate(input_array, i).with_slots(num_slots)
-                  for i in range(np_)]
+        # baby-step pre-rotations of the input: one source, np_ targets —
+        # hoisted through the rotation tree (shared precompute)
+        babies = [b.with_slots(num_slots)
+                  for b in self._batch_rotate(input_array, range(np_))]
 
         rank = None
         dup = input_array.with_slots(num_slots)
@@ -246,7 +270,7 @@ class DirectSort:
             rot_index = ctx.mult_scalar(rot_index, 1.0 / N / 2.0)
             sinc_mask = eval_chebyshev_series_ps(ctx, rot_index, coeffs)
             masked = ctx.mult(sinc_mask, input_full)
-            masked_rots = [self.rot.rotate(masked, i) for i in range(np_)]
+            masked_rots = self._batch_rotate(masked, range(np_))
             rotated = self._blind_rotation_opt_n(
                 masked_rots, num_slots, np_, b, num_partition)
             output = rotated if output is None else ctx.add(output, rotated)
@@ -313,9 +337,8 @@ class DirectSort:
             rot_index = ctx.mult_scalar(rot_index, 1.0 / N / 2.0)
             sinc_mask = eval_chebyshev_series_ps(ctx, rot_index, coeffs)
             masked = ctx.mult(sinc_mask, input_full)
-            masked_rots = [
-                self.rot.rotate(masked, b * (num_slots // N // 2) + i)
-                for i in range(np_)]
+            masked_rots = self._batch_rotate(
+                masked, [b * (num_slots // N // 2) + i for i in range(np_)])
             rotated = self._blind_rotation_opt_2n(masked_rots, num_slots, np_)
             output = rotated if output is None else ctx.add(output, rotated)
 

@@ -153,9 +153,22 @@ def _build() -> dict[tuple[str, int], SortParams]:
         # full tier keeps ring 2^17), sign (4,3,3) at line 72
         reg[("bitonic", N)] = SortParams(
             "bitonic", N, 58, _pow2_pm(N), sign=(4, 3, 3))
-        # kway_adapter.h:56-62: depth 40, budgets {4,4} (N<=128) / {5,5}
+    # k-way grids: N = k^M for k in {2, 3, 5} (kway_adapter.h:41-64 depth
+    # 40, budgets {4,4} N<=128 / {5,5}; per-size CompositeSignConfig(3,
+    # d_f, d_g) ladders from tests/k-way/KWaySort{2,3,5}Test.cpp:85-140 —
+    # note the reference passes (n, dg=d_f, df=d_g), d_f fixed at 2)
+    kway_sign = {
+        4: (3, 2, 2), 8: (3, 2, 2), 16: (3, 2, 2),
+        32: (3, 2, 3), 64: (3, 2, 3), 128: (3, 2, 3),
+        256: (3, 2, 4), 512: (3, 2, 4), 1024: (3, 2, 5),
+        9: (3, 2, 2), 27: (3, 2, 3), 81: (3, 2, 3),
+        243: (3, 2, 4), 729: (3, 2, 5),
+        25: (3, 2, 3), 125: (3, 2, 3), 625: (3, 2, 4),
+    }
+    for N, sgn in kway_sign.items():
+        np2 = 1 << (N - 1).bit_length()   # batch = next pow2 (adapter h:44)
         reg[("kway", N)] = SortParams(
-            "kway", N, 40, _pow2_pm(N), sign=(3, 2, 5),
+            "kway", N, 40, _pow2_pm(np2), sign=sgn,
             level_budget=(4, 4) if N <= 128 else (5, 5))
     return reg
 
@@ -171,20 +184,19 @@ def get_params(algo: str, N: int) -> SortParams:
                        f"known: {sorted(REGISTRY)}") from None
 
 
-def _dnum_for(depth: int, ring_dim: int) -> int:
+def _dnum_for(depth: int, ring_dim: int, scale_bits: int = 56) -> int:
     """Smallest dnum whose special-prime block keeps logQP within (or as
     close as possible to) the 128-bit ceiling.
 
-    Prime-size constants calibrated against the built chains: the adaptive
-    scaling primes average ~27 bits (not the nominal 26 — the canonical-
-    scale ladder alternates above/below 2^26) and special primes are
-    ~31 bits.  Round 2's 26/30-bit estimate picked dnum=3 for depth 46,
-    whose real chain measured logQP 3547 > 3523."""
+    Prime-size model: level pairs average scale_bits total (the pool
+    pair-picker lands within ~2^-8), special primes ~31 bits.  Round 2's
+    26/30-bit estimate picked dnum=3 for depth 46, whose real chain
+    measured logQP 3547 > 3523 (recalibrated round 3; pool-picker round 4)."""
     limit = HESTD_128_CLASSIC_LOGQP.get(ring_dim)
     best = 3
-    for dnum in (3, 4, 5, 6, 8):
+    for dnum in (3, 4, 5, 6, 8, 10, 12, 14):
         nq = 3 + 2 * depth                      # base(3x30b) + depth pairs
-        logq = 3 * 30 + 2 * depth * 27
+        logq = 3 * 30 + depth * scale_bits
         ksp = -(-nq // dnum)
         logqp = logq + ksp * 31
         best = dnum
@@ -194,11 +206,21 @@ def _dnum_for(depth: int, ring_dim: int) -> int:
 
 
 def full_config(p: SortParams, **overrides) -> CkksConfig:
-    """Depth-matched full-fidelity CkksConfig (ring 2^17 tier)."""
+    """Depth-matched full-fidelity CkksConfig (ring 2^17 tier).
+
+    scale_bits=56: at ring 2^17 the NTT prime pool has only ~10 26-bit
+    members — 52-bit levels exhaust them by depth ~27 and the canonical
+    ladder diverges (round-4 bench failure).  56-bit levels draw on the
+    dense 27-29-bit pool (~80 realizable pairs, depth 56 covered) and
+    carry MORE precision than the reference's 40-bit scaling mod.
+
+    limb_pad=8: bucket the ~2*depth distinct limb counts of a deep chain
+    into multiples of 8 so the per-(kernel, limb-count) XLA compiles drop
+    ~8x (round-3's compile explosion; see CkksConfig.limb_pad)."""
     kw = dict(ring_dim=p.ring_dim_full, mult_depth=p.mult_depth,
-              scale_bits=52, comp=2,
+              scale_bits=56, comp=2,
               dnum=_dnum_for(p.mult_depth, p.ring_dim_full),
-              batch_size=None)
+              batch_size=None, limb_pad=8)
     kw.update(overrides)
     return CkksConfig(**kw)
 

@@ -99,17 +99,27 @@ def load_rotation_keys(path):
 # ciphertexts
 # ---------------------------------------------------------------------------
 def save_ciphertext(path, ct: Ciphertext) -> None:
-    np.savez_compressed(path, data=np.asarray(ct.data),
+    # persist only the LOGICAL limbs: bucket-padding rows (limb_pad > 1)
+    # are garbage and re-derivable, and the wire format stays minimal
+    np.savez_compressed(path, data=np.asarray(ct.data[:, :ct.limbs, :]),
                         scale=np.float64(ct.scale),
                         noise_deg=np.int64(ct.noise_deg),
                         slots=np.int64(ct.slots))
 
 
-def load_ciphertext(path) -> Ciphertext:
+def load_ciphertext(path, ctx: CkksContext | None = None) -> Ciphertext:
     import jax.numpy as jnp
     z = np.load(path)
-    return Ciphertext(jnp.asarray(z["data"]), float(z["scale"]),
-                      int(z["noise_deg"]), int(z["slots"]))
+    data = z["data"]
+    limbs = data.shape[1]
+    if ctx is not None:
+        rows = ctx.bucket_limbs(limbs)
+        if rows > limbs:   # re-pad to the context's bucket shape (any
+            data = np.concatenate(   # residues work; zeros are residues of
+                [data, np.zeros((data.shape[0], rows - limbs,
+                                 data.shape[2]), data.dtype)], axis=1)
+    return Ciphertext(jnp.asarray(data), float(z["scale"]),
+                      int(z["noise_deg"]), int(z["slots"]), limbs_=limbs)
 
 
 # ---------------------------------------------------------------------------
