@@ -23,6 +23,14 @@ import jax  # noqa: E402
 # undo the axon sitecustomize override so backends() never dials the tunnel
 jax.config.update("jax_platforms", "cpu")
 
+# CPU runs must NOT use the persistent compilation cache at all: XLA:CPU
+# AOT executables SEGFAULT on reload in this jaxlib even same-host (the
+# loader rejects its own "+prefer-no-scatter" tuning pseudo-features;
+# observed as repeated suite crashes inside
+# compilation_cache.get_executable_and_time).  CPU compiles are seconds
+# each — correctness over startup speed.
+jax.config.update("jax_enable_compilation_cache", False)
+
 _CPUS = jax.devices("cpu")
 assert len(_CPUS) == 8, _CPUS
 jax.config.update("jax_default_device", _CPUS[0])
