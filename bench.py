@@ -163,7 +163,7 @@ def micro_bench(ctx, limbs=None):
         lambda: lambda a: C._kj_mult_relin(a, a, ctx.relin_key, T)) * 1e3
     out["rescale_ms"] = marginal(
         lambda: lambda a: jnp.concatenate(
-            [C._kj_rescale(a, T),
+            [C._kj_rescale(a, ctx._rescale_consts(l), T)[:, :l - P.comp],
              jnp.zeros((2, P.comp, ctx.n), jnp.uint32)], axis=1)) * 1e3
     out["hoist_precompute_ms"] = marginal(
         lambda: lambda a: a.at[0].set(
@@ -229,65 +229,14 @@ def _launch_prewarm(algo: str, N: int, ring_log: int):
     return procs
 
 
-def _pretouch(ctx, threads: int = None):
-    """Warm every (kernel, bucket) executable IN-PROCESS, concurrently.
-
-    Trial-0 used to descend the chain serially, paying ~20-40 s of
-    lowering + cache-load per (kernel, bucket) — ~30 min at 12 buckets x
-    6 kernels.  jit dispatch is thread-safe and XLA compiles release the
-    GIL, so a small thread pool overlaps the loads; dummy zero operands
-    at each bucket shape trigger exactly the executables the sort will
-    use (same real-argument path, so persistent-cache entries from
-    previous runs HIT).  BENCH_PRETOUCH=0 disables."""
+def _pretouch(ctx):
+    """Threaded in-process kernel warm-up (see utils/pretouch.py);
+    BENCH_PRETOUCH=0 disables."""
     if os.environ.get("BENCH_PRETOUCH", "1") == "0":
         return
-    import concurrent.futures as cf
-    import jax.numpy as jnp
-    from sorting_fhe_tpu.core import ckks as C
-
-    t0 = time.time()
-    P = ctx.params
-    n, nq = P.n, P.nq
-    buckets = sorted({ctx.bucket_limbs(l)
-                      for l in range(P.base_limbs + P.comp, nq + 1)},
-                     reverse=True)
-    # largest on-ladder logical limb count per bucket (rescale consts)
-    ladder = list(range(nq, P.base_limbs, -P.comp))
-    lad_for = {lb: max(l for l in ladder if ctx.bucket_limbs(l) == lb)
-               for lb in buckets if any(ctx.bucket_limbs(l) == lb
-                                        for l in ladder)}
-    kk = min(ctx.rot_keys) if ctx.rot_keys else None
-    rk = ctx.rot_keys.get(kk) if kk else None
-    perm = ctx._perm(kk) if kk else None
-
-    def touch(lb):
-        T = ctx.tables(lb)
-        z = jnp.zeros((2, lb, n), jnp.uint32)
-        zp = jnp.zeros((lb, n), jnp.uint32)
-        w = jnp.zeros((lb,), jnp.uint32)
-        outs = [C._kj_mult_relin(z, z, ctx.relin_key, T),
-                C._kj_square_relin(z, ctx.relin_key, T),
-                C._kj_pt_mul(z, zp, T.q_p, T.q_npi),
-                C._kj_add(z, z, T.q_p.reshape(1, -1, 1)),
-                C._kj_sub(z, z, T.q_p.reshape(1, -1, 1)),
-                C._kj_const_mul(z, w, w, T.q_p)]
-        if lb in lad_for:
-            outs.append(C._kj_rescale(z, ctx._rescale_consts(lad_for[lb]),
-                                      T))
-        if rk is not None:
-            outs.append(C._kj_rotate_fused(z, rk, perm, T))
-            pre = C._kj_decompose(z[1], T)
-            outs.append(C._kj_fast_rotate(z, pre, rk, perm, T))
-        for o in outs:
-            o.block_until_ready()
-        return lb
-
-    nthreads = threads or int(os.environ.get("BENCH_PRETOUCH_THREADS", "6"))
-    with cf.ThreadPoolExecutor(nthreads) as ex:
-        for lb in ex.map(touch, buckets):
-            log(f"[pretouch] bucket {lb} warm ({time.time()-t0:.0f}s)")
-    log(f"[pretouch] {len(buckets)} buckets x ~8 kernels in "
-        f"{time.time()-t0:.1f}s")
+    from sorting_fhe_tpu.utils.pretouch import pretouch
+    dt = pretouch(ctx, log=log)
+    log(f"[pretouch] all buckets warm in {dt:.1f}s")
 
 
 def sort_bench(algo: str, N: int, ring_log: int, trials: int):

@@ -585,6 +585,7 @@ _kj_add = jax.jit(_k_add)
 _kj_sub = jax.jit(_k_sub)
 _kj_pt_mul = jax.jit(_k_pt_mul)
 _kj_const_mul = jax.jit(_k_const_mul)
+_kj_permute = jax.jit(_k_automorph)
 
 
 @jax.jit
@@ -1290,6 +1291,23 @@ class CkksContext:
         self.rot_count += 1
         self.op_counts["rotate_fused"] += 1
         return replace(ct, data=out)
+
+    # ---------------- plaintext rotation (free: no key switch) ----------
+    def rotate_plaintext(self, pt: Plaintext, r: int) -> Plaintext:
+        """Slot-rotate a PLAINTEXT by r via the Galois automorphism — a
+        pure eval-domain permutation (no key switch, no re-encoding).
+
+        encode(roll(v, -r)) == sigma_g(encode(v)) exactly: the
+        automorphism is an integer-coefficient permutation commuting with
+        the embedding.  Replaces per-mask host iFFT + RNS reduction +
+        48 MB transfers in the baby-step mask families (round-4 census:
+        mask encoding/transfer was ~60-90 s of a ~100 s warm N=128 sort)."""
+        kk = r % (self.n // 2)
+        if kk == 0:
+            return pt
+        self.op_counts["pt_rotate"] += 1
+        return Plaintext(_kj_permute(pt.data, self._perm(kk)),
+                         pt.scale, pt.slots)
 
     # ---------------- monomial multiplication (free: no key, no level) ----
     def mult_monomial(self, ct: Ciphertext, power: int) -> Ciphertext:

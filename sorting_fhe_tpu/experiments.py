@@ -90,6 +90,12 @@ def run_trial(algo: str, N: int, ring_log: int, seed: int,
     # ladder instead (bench.py default, measured in ROUND4_NOTES)
     minimal = ring_log >= 16 and N >= 64
     sorter = _build_sorter(ctx, algo, N, p, minimal_keys=minimal)
+    if ring_log >= 16 and os.environ.get("BENCH_PRETOUCH", "1") != "0":
+        # warm all (kernel, bucket) executables concurrently — a fresh
+        # chain otherwise pays ~20-40 s of lowering/loading per combo
+        # serially during trial 1 (see utils/pretouch.py)
+        from .utils.pretouch import pretouch
+        print(f"[pretouch] {pretouch(ctx):.1f}s", file=sys.stderr)
     rng = np.random.default_rng(seed)
     v = vector_with_min_diff(N, 0, 1, 1.0 / N, rng)
     # mehp24 packs the N x N comparison matrix in one ciphertext

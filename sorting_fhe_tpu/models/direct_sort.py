@@ -198,6 +198,16 @@ class DirectSort:
         return self.ctx.make_plaintext(vec, ct.limbs, self.ctx.delta,
                                        num_slots)
 
+    def _pt_block(self, ct: Ciphertext, num_slots: int, width: int,
+                  k: int, s: int):
+        """Plaintext of _rotate_list(_mask(num_slots, k, width), s) from
+        ONE cached base-block encode + a device Galois permutation
+        (ckks.rotate_plaintext) — the baby-step mask families are all
+        slot-rolls of the same block, and re-encoding/transferring each
+        (~48 MB at ring 2^17) dominated the warm sort (round-4 census)."""
+        base = self._pt(self._mask(num_slots, 0, width), ct, num_slots)
+        return self.ctx.rotate_plaintext(base, -(k * width - s))
+
     # ---------------- constructRank (sort_algo.h:368-506) ----------------
     def construct_rank(self, input_array: Ciphertext,
                        cfg: SignConfig) -> Ciphertext:
@@ -236,10 +246,10 @@ class DirectSort:
         for j in range(num_partition // np_):
             T = None
             for i in range(np_):
-                msk = self._mask(num_slots, np_ * j + i, self.N)
-                msk = _rotate_list(msk, -is_ * num_partition - j * np_)
-                term = ctx.mult(babies[i],
-                                self._pt(msk, babies[i], num_slots))
+                pt = self._pt_block(babies[i], num_slots, self.N,
+                                    np_ * j + i,
+                                    -is_ * num_partition - j * np_)
+                term = ctx.mult(babies[i], pt)
                 T = term if T is None else ctx.add(T, term)
             T = self.rot.rotate(T, is_ * num_partition + j * np_)
             result = T if result is None else ctx.add(result, T)
@@ -292,10 +302,9 @@ class DirectSort:
         for i in range(groups):
             tmp = None
             for j in range(np_):
-                msk = self._mask(num_slots, np_ * i + j, self.N)
-                msk = _rotate_list(msk, j)
-                term = ctx.mult(masked_inputs[j],
-                                self._pt(msk, masked_inputs[j], num_slots))
+                pt = self._pt_block(masked_inputs[j], num_slots, self.N,
+                                    np_ * i + j, j)
+                term = ctx.mult(masked_inputs[j], pt)
                 tmp = term if tmp is None else ctx.add(tmp, term)
             tmp = self.rot.rotate(tmp, ib * num_partition + i * np_)
             result = tmp if result is None else ctx.add(result, tmp)
@@ -356,10 +365,9 @@ class DirectSort:
         for i in range(groups):
             tmp = None
             for j in range(np_):
-                msk = self._mask(num_slots, np_ * i + j, 2 * self.N)
-                msk = _rotate_list(msk, j)
-                term = ctx.mult(masked_inputs[j],
-                                self._pt(msk, masked_inputs[j], num_slots))
+                pt = self._pt_block(masked_inputs[j], num_slots,
+                                    2 * self.N, np_ * i + j, j)
+                term = ctx.mult(masked_inputs[j], pt)
                 tmp = term if tmp is None else ctx.add(tmp, term)
             tmp = self.rot.rotate(tmp, i * np_)
             result = tmp if result is None else ctx.add(result, tmp)

@@ -143,3 +143,10 @@ class PlainContext:
 
     def fast_rotation(self, ct, k, precomp):
         return self.rotate(ct, k)
+
+    def rotate_plaintext(self, pt, r):
+        """Slot-rotation of a plaintext (ckks.rotate_plaintext mirror)."""
+        if r % pt.slots == 0:
+            return pt
+        from dataclasses import replace as _rep
+        return _rep(pt, data=np.roll(pt.data, -r))

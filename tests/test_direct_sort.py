@@ -160,3 +160,22 @@ def test_direct_sort_encrypted_n4():
     v = vector_with_min_diff(N, 0, 1, 1.0 / N, RNG)
     got = ctx.decrypt(ds.sort(ctx.encrypt(v, slots=N)))[:N]
     assert np.abs(got - np.sort(v)).max() < 0.01
+
+
+def test_pt_block_rotation_semantics(ectx):
+    """_pt_block (base encode + device Galois permutation) must decode to
+    the rolled mask.  Not bit-identical to a fresh encode — the float
+    iFFT of the rolled vector rounds a few coefficients one ulp apart —
+    but slot-exact, which is what the mask-mult consumes."""
+    import numpy as np
+    from sorting_fhe_tpu.models.direct_sort import _rotate_list
+    ctx = ectx
+    ds = DirectSort(ctx, 4)
+    one = ctx.encrypt(np.ones(16), slots=16)
+    num_slots = 16
+    for k, s in [(0, 0), (1, 0), (2, -3), (3, 5), (1, 7)]:
+        want_vec = _rotate_list(ds._mask(num_slots, k, 4), s)
+        got = ds._pt_block(one, num_slots, 4, k, s)
+        dec = ctx.decrypt(ctx.rescale(ctx.mult(one, got)))[:num_slots]
+        assert np.abs(dec - want_vec).max() < 1e-6, (k, s, dec)
+        assert got.slots == num_slots
