@@ -88,7 +88,10 @@ def run_trial(algo: str, N: int, ring_log: int, seed: int,
     # HBM economics on one chip: the registry's single-hop key set at
     # N>=64 full fidelity exceeds a v5e's HBM; compose from the pow-2
     # ladder instead (bench.py default, measured in ROUND4_NOTES)
-    minimal = ring_log >= 16 and N >= 64
+    # N>=32: the single-hop registry keyset (~20 keys x ~0.45 GB) plus the
+    # relin key and plaintext cache overruns the 16 GB v5e; compose from
+    # the pow-2 ladder instead (tradeoff measured in ROUND4_NOTES)
+    minimal = ring_log >= 16 and N >= 32
     sorter = _build_sorter(ctx, algo, N, p, minimal_keys=minimal)
     if ring_log >= 16 and os.environ.get("BENCH_PRETOUCH", "1") != "0":
         # warm all (kernel, bucket) executables concurrently — a fresh
