@@ -259,7 +259,9 @@ def sort_bench(algo: str, N: int, ring_log: int, trials: int):
     logqp, limit, ok = security_check(cfg, ctx.params)
     log(f"[setup] security logQP={logqp} HEStd-128c-limit={limit} ok={ok}")
 
-    minimal = os.environ.get("BENCH_KEYS", "minimal" if N >= 64
+    # key-mode from data (ROUND4_NOTES tradeoff table): the registry
+    # single-hop set stops fitting the 16 GB v5e at N>=32
+    minimal = os.environ.get("BENCH_KEYS", "minimal" if N >= 32
                              else "registry") == "minimal"
     t0 = time.time()
     direct_algos = {"direct", "hybrid", "hybrid1", "hybrid2"}
