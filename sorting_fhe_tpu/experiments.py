@@ -122,6 +122,18 @@ def run_trial(algo: str, N: int, ring_log: int, seed: int,
     avg_err = float(err.mean())
     mem = mon.report()
     logqp, limit, sec_ok = security_check(cfg, ctx.params)
+    counts = (ctx.mult_count, ctx.rot_count)
+    # release this trial's HBM eagerly: each full-fidelity context holds
+    # ~6 GB of keys + caches, and a lingering previous context OOMed the
+    # next trial's warm-up (round-4 sweep)
+    ctx.rot_keys.clear()
+    ctx._pt_cache.clear()
+    if hasattr(ctx, "_pt_host_cache"):
+        ctx._pt_host_cache.clear()
+    ctx._tables.clear()
+    del sorter, ct, out, ctx
+    import gc
+    gc.collect()
     res = {
         "algo": algo, "N": N, "ring_dim": cfg.ring_dim,
         "mult_depth": cfg.mult_depth, "scale_bits": cfg.scale_bits,
@@ -129,7 +141,7 @@ def run_trial(algo: str, N: int, ring_log: int, seed: int,
         "setup_s": setup_s, "exec_ms": exec_ms,
         "max_err": max_err, "avg_err": avg_err,
         "n_big_err": int((err > 0.01).sum()),
-        "mults": ctx.mult_count, "rots": ctx.rot_count,
+        "mults": counts[0], "rots": counts[1],
         "logqp": logqp, "sec_ok": sec_ok,
         **mem,
     }
