@@ -47,14 +47,14 @@ def test_hybrid1_encrypted_n16():
 
 def test_mehp24_sortfg_encrypted_n16():
     from sorting_fhe_tpu.models import mehp24 as M
-    # depth 42: the dg_c=3 comparison ladder at N=16 runs ~4 levels past
-    # the registry's dg=2-calibrated 38 (cheap tier — no security claim)
+    # dg=2 ladder (registry sign ladder for N<=16; the reference fixture
+    # runs N=16 at depth 38 with it) + 4 levels of margin
     ctx = CkksContext(CkksConfig(ring_dim=1 << 11, mult_depth=42,
                                  scale_bits=52, comp=2, dnum=6,
                                  limb_pad=8))
     N = 16
     v = vector_with_min_diff(N, 0, 1, 1.0 / N, RNG)
-    out = M.sort_fg(ctx, ctx.encrypt(v, slots=N * N), N, 3, 2, 3, 2)
+    out = M.sort_fg(ctx, ctx.encrypt(v, slots=N * N), N, 2, 2, 2, 2)
     got = ctx.decrypt(out)[:N]
     assert np.abs(got - np.sort(v)).max() < 0.01
 
