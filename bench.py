@@ -301,7 +301,9 @@ def sort_bench(algo: str, N: int, ring_log: int, trials: int):
     rng = np.random.default_rng(42)
     v = vector_with_min_diff(N, 0, 1, 1.0 / N, rng)
     t0 = time.time()
-    slots = N * N if algo == "mehp24" else N
+    # mehp24 packs an NxN matrix; cap at 256x256 (the large-array split
+    # tier, mirroring experiments.py) so slots never exceed n/2
+    slots = min(N * N, 256 * 256, ctx.n // 2) if algo == "mehp24" else N
     ct = ctx.encrypt(v, slots=slots)
     log(f"[setup] encrypt {time.time()-t0:.1f}s")
     cfg_sign = p.sign_config()

@@ -212,11 +212,11 @@ class ShardedKeyswitch:
                 return jnp.stack(accs)                   # [ndig, myrows, n]
             eq = crt(CW_q, CSh_q, q_p)
             es = crt(CW_s, CSh_s, sp_p)
-            # exact copies for in-digit q rows (row r belongs to digit
-            # dig_of_row[global_r]; my global rows from the mesh position)
-            myrows = cc.shape[0]
-            gidx = jax.lax.axis_index(axis) * myrows + jnp.arange(myrows)
-            dig_mask = jax.nn.one_hot(dig_of_row[gidx], ndig,
+            # exact copies for in-digit q rows: dig_of_row arrives with
+            # in_spec P(axis), so it is ALREADY this device's local
+            # [lq/D] block of per-row digit ids — index it directly
+            # (global gidx indexing here silently clamps on devices > 0)
+            dig_mask = jax.nn.one_hot(dig_of_row, ndig,
                                       dtype=jnp.uint32)  # [myrows, ndig]
             keep = 1 - dig_mask.T[:, :, None]            # [ndig, myrows, 1]
             eq = eq * keep + dig_mask.T[:, :, None] * cc[None]

@@ -217,9 +217,13 @@ def full_config(p: SortParams, **overrides) -> CkksConfig:
     limb_pad=8: bucket the ~2*depth distinct limb counts of a deep chain
     into multiples of 8 so the per-(kernel, limb-count) XLA compiles drop
     ~8x (round-3's compile explosion; see CkksConfig.limb_pad)."""
+    # resolve scale_bits from overrides BEFORE sizing dnum: a caller
+    # overriding scale_bits changes the level-prime budget logQP is
+    # modeled from (ADVICE r4)
+    sb = overrides.get("scale_bits", 56)
     kw = dict(ring_dim=p.ring_dim_full, mult_depth=p.mult_depth,
-              scale_bits=56, comp=2,
-              dnum=_dnum_for(p.mult_depth, p.ring_dim_full),
+              scale_bits=sb, comp=2,
+              dnum=_dnum_for(p.mult_depth, p.ring_dim_full, sb),
               batch_size=None, limb_pad=8)
     kw.update(overrides)
     return CkksConfig(**kw)

@@ -115,6 +115,34 @@ def test_explicit_collective_keyswitch(sctx, mesh):
     assert bytes_["moddown_allgather_B"] == int(7 / 8 * 2 * 8 * 256 * 4)
 
 
+def test_explicit_collective_digit_boundary_spans_device():
+    """Regression (ADVICE r4): a digit boundary INSIDE one device's row
+    block.  nq=16, dnum=3 -> alpha=6 (digits [0:6],[6:12],[12:16]); on a
+    4-device mesh each device owns 4 rows, so device 1 (rows 4..7) spans
+    the boundary at 6.  The old global-index lookup into the local
+    dig_of_row shard clamped out of range and mis-masked the exact-copy
+    rows on every device but 0."""
+    from sorting_fhe_tpu.parallel.collective import ShardedKeyswitch
+    m4 = make_mesh(4)
+    ctx = CkksContext(CkksConfig(ring_dim=1 << 8, mult_depth=14,
+                                 scale_bits=26, comp=1, dnum=3,
+                                 num_special_primes=8))
+    shard_context_tables(ctx, m4)
+    assert ctx.params.alpha % (ctx.params.nq // 4) != 0 or \
+        (ctx.params.nq // 4) % ctx.params.alpha != 0, \
+        "config must make a device span a digit boundary"
+    N = 4
+    v = vector_with_min_diff(N, 0, 1, 1.0 / N, RNG)
+    w = vector_with_min_diff(N, 0, 1, 1.0 / N, RNG)
+    a = shard_ciphertext(ctx.encrypt(v, slots=N), m4)
+    b = shard_ciphertext(ctx.encrypt(w, slots=N), m4)
+    sk = ShardedKeyswitch(ctx, m4)
+    got = ctx.decrypt(ctx.rescale(sk.mult_relin(a, b)))[:N]
+    want = ctx.decrypt(ctx.rescale(ctx.mult(a, b)))[:N]
+    assert np.abs(got - v * w).max() < 1e-2
+    assert np.abs(got - want).max() < 1e-4
+
+
 def test_sharded_full_sort(mesh):
     """End-to-end encrypted DirectSort on the 8-device mesh."""
     ctx = CkksContext(CkksConfig(ring_dim=1 << 8, mult_depth=26,
