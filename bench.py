@@ -250,6 +250,10 @@ def sort_bench(algo: str, N: int, ring_log: int, trials: int):
     # bitonic/k-way bootstrap mid-sort: sparse secret for EvalMod's sine
     # range (core/bootstrap.py default_K)
     boot = {"secret_hw": 64} if algo in ("bitonic", "kway") else {}
+    if algo == "mehp24" and ring_log >= 16 and N >= 32:
+        # mehp24's key set exceeds HBM: LRU + on-demand regen
+        boot.setdefault("rot_key_budget_mb", int(os.environ.get(
+            "SORTING_FHE_KEY_BUDGET_MB", "5120")))
     cfg = full_config(p, ring_dim=1 << ring_log, **boot)
     sidecars = _launch_prewarm(algo, N, ring_log)
     t0 = time.time()
@@ -296,8 +300,7 @@ def sort_bench(algo: str, N: int, ring_log: int, trials: int):
         f"{'minimal' if minimal and algo in direct_algos else 'registry'}) "
         f"{time.time()-t0:.1f}s {device_mem_gb()}")
 
-    if algo in direct_algos:
-        _pretouch(ctx)
+    _pretouch(ctx)   # warm every (kernel, bucket) for any pipeline
     rng = np.random.default_rng(42)
     v = vector_with_min_diff(N, 0, 1, 1.0 / N, rng)
     t0 = time.time()

@@ -614,7 +614,16 @@ class CkksContext:
         self.backend = _resolve_backend(cfg.ntt_backend)
         self.n = self.params.n
         self.delta = float(2 ** cfg.scale_bits)
-        self.rot_keys: dict[int, jnp.ndarray] = {}
+        from .keystore import KeyStore
+        import os as _os_
+        budget_mb = cfg.rot_key_budget_mb
+        if budget_mb is None:
+            env = _os_.environ.get("SORTING_FHE_KEY_BUDGET_MB")
+            budget_mb = int(env) if env else None
+        self._key_streaming = budget_mb is not None
+        self.rot_keys: "KeyStore" = KeyStore(
+            (budget_mb << 20) if budget_mb else None,
+            regen=self._regen_rot_key)
         self._tables: dict[int, _LevelTables] = {}
         self._rs_cache: dict[int, tuple] = {}
         self._perm_cache: dict[int, jnp.ndarray] = {}
@@ -767,7 +776,11 @@ class CkksContext:
 
     # ---------------- key management ----------------
     def gen_rotation_keys(self, indices: list[int]):
-        """EvalRotateKeyGen equivalent."""
+        """EvalRotateKeyGen equivalent.  Under a rotation-key budget
+        (cfg.rot_key_budget_mb / SORTING_FHE_KEY_BUDGET_MB) keys are only
+        REGISTERED here; they materialize on first use through the
+        KeyStore's deterministic device-side regeneration and live in a
+        byte-capped LRU (core/keystore.py)."""
         half = self.n // 2
         for k in indices:
             kk = k % half
@@ -776,10 +789,19 @@ class CkksContext:
                     raise KeyError(
                         f"evaluation-only context is missing rotation key "
                         f"{k}: regenerate and reserialize with it")
+                if self._key_streaming:
+                    self.rot_keys.register(kk)
+                    continue
                 g = encoding.galois_element_for_rotation(self.n, kk)
                 with _concrete_ctx():
                     self.rot_keys[kk] = jnp.asarray(
                         self.keygen.gen_rotation_key(g))
+
+    def _regen_rot_key(self, kk: int):
+        """KeyStore regen hook: deterministic device-side Galois keygen."""
+        g = encoding.galois_element_for_rotation(self.n, kk)
+        with _concrete_ctx():
+            return self.keygen.gen_rotation_key_dev(g)
 
     def _perm(self, k: int) -> jnp.ndarray:
         if k not in self._perm_cache:

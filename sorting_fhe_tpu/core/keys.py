@@ -180,6 +180,76 @@ class KeyGenerator:
                            jnp.asarray(wsh), rmod, rsh, P.ntt.p,
                            P.ntt.psi, P.ntt.psi_sh, P.mont_neg_p_inv)
 
+    def _ksk_weights(self):
+        """(w, wsh, rmod, rsh) Shoup tables for KSK assembly — independent
+        of the switched secret s', cached across keys."""
+        if hasattr(self, "_ksk_w_cache"):
+            return self._ksk_w_cache
+        P = self.params
+        qs = P.q
+        sp = P.p_special
+        rows = qs + sp
+        nrows = len(rows)
+        digits = self._digit_indices()
+        dnum = len(digits)
+        Pint = P.P_int
+        Q = 1
+        for q in qs:
+            Q *= q
+        w = np.empty((dnum, nrows), dtype=np.uint32)
+        wsh = np.empty((dnum, nrows), dtype=np.uint32)
+        for j, dig in enumerate(digits):
+            Dj = 1
+            for i in dig:
+                Dj *= qs[i]
+            Dhat = Q // Dj
+            Wj = Dhat * nt.mod_inverse(Dhat % Dj, Dj)
+            for r, p in enumerate(rows):
+                c = (Pint % p) * (Wj % p) % p
+                w[j, r] = c
+                wsh[j, r] = (c << 32) // p
+        rmod = np.array([(1 << 32) % p for p in rows], dtype=np.uint32)
+        rsh = np.array([(int(r) << 32) // p
+                        for r, p in zip(rmod, rows)], dtype=np.uint32)
+        self._ksk_w_cache = (jnp.asarray(w), jnp.asarray(wsh),
+                             jnp.asarray(rmod), jnp.asarray(rsh))
+        return self._ksk_w_cache
+
+    def gen_rotation_key_dev(self, g: int) -> "jnp.ndarray":
+        """Galois key generated ENTIRELY on device with a deterministic
+        per-(seed, g) PRNG: regenerating the same g yields the
+        bit-identical key, which makes KeyStore eviction transparent
+        (core/keystore.py).  Only the [n] small rotated-secret poly
+        crosses the host->device link (~0.5 MB), vs the host-PRNG path's
+        ~[dnum, nrows, n] uniform tensor (~0.3 GB per key)."""
+        import jax
+
+        from .encoding import automorphism_index_table
+        P = self.params
+        src, sign = automorphism_index_table(P.n, g)
+        s_rot = (sign * self.sk.s_coeffs[src]).astype(np.int32)
+        w, wsh, rmod, rsh = self._ksk_weights()
+        if not hasattr(self, "_s_red"):
+            rows_i64 = np.array(P.q + P.p_special, dtype=np.int64)
+            self._s_red = jnp.asarray(
+                (self.sk.s_coeffs[None, :] % rows_i64[:, None])
+                .astype(np.uint32))
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(P.cfg.seed ^ 0x5EED), g)
+        backend = getattr(self, "backend", "xla")
+        if backend.startswith("pallas"):
+            rows = jnp.asarray(np.arange(len(P.q) + len(P.p_special),
+                                         dtype=np.int32))
+            return _ksk_kernel_dev_pallas(
+                key, self._s_red, jnp.asarray(s_rot), w, wsh, rmod, rsh,
+                P.ntt.p, P.mont_neg_p_inv, jnp.float32(P.cfg.sigma),
+                P.ntt.pallas_tables(), rows,
+                backend == "pallas-interpret")
+        return _ksk_kernel_dev(
+            key, self._s_red, jnp.asarray(s_rot), w, wsh, rmod, rsh,
+            P.ntt.p, P.mont_neg_p_inv, jnp.float32(P.cfg.sigma),
+            P.ntt.psi, P.ntt.psi_sh)
+
     def gen_relin_key(self) -> np.ndarray:
         # s^2 mod (X^n + 1) has coefficients bounded by n < p/2, so a single
         # NTT prime recovers them exactly via centered lift.
@@ -250,10 +320,61 @@ def _ksk_kernel_pallas_impl(s_red, sp_red, a, e_red, w, wsh, rmod, rsh,
         lambda x: ntt_fwd_pallas(x, pk, rows, interpret=interpret))
 
 
+def _ksk_dev_samples(key, srot_small, w, rmod, rsh, p, sigma):
+    """Device-side PRNG sampling for one KSK: uniform a (64-bit draw
+    folded mod p — bias ~p/2^64), rounded-gaussian e, and the residue
+    expansion of the small rotated secret."""
+    import jax
+    import jax.numpy as jnp
+    from .rns import add_mod, shoup_mul
+
+    dnum, nrows = w.shape
+    n = srot_small.shape[0]
+    kb, ke = jax.random.split(key)
+    bits = jax.random.bits(kb, (2, dnum, nrows, n), jnp.uint32)
+    p2 = p.reshape(1, -1, 1)
+    a = add_mod(shoup_mul(bits[0], rmod.reshape(1, -1, 1),
+                          rsh.reshape(1, -1, 1), p2),
+                jnp.remainder(bits[1], p2), p2)
+    e = jnp.round(jax.random.normal(ke, (dnum, n), jnp.float32)
+                  * sigma).astype(jnp.int32)
+    p_i32 = p.astype(jnp.int32)
+    e_red = jnp.where(e[:, None, :] < 0,
+                      p_i32.reshape(1, -1, 1) + e[:, None, :],
+                      e[:, None, :]).astype(jnp.uint32)
+    sp_red = jnp.where(srot_small[None, :] < 0,
+                       p_i32.reshape(-1, 1) + srot_small[None, :],
+                       srot_small[None, :]).astype(jnp.uint32)
+    return a, e_red, sp_red
+
+
+def _ksk_kernel_dev_impl(key, s_red, srot_small, w, wsh, rmod, rsh,
+                         p, npi, sigma, psi, psi_sh):
+    from .ntt import ntt_fwd_t
+    a, e_red, sp_red = _ksk_dev_samples(key, srot_small, w, rmod, rsh,
+                                        p, sigma)
+    return _ksk_kernel_body(
+        s_red, sp_red, a, e_red, w, wsh, rmod, rsh, p, npi,
+        lambda x: ntt_fwd_t(x, p, psi, psi_sh))
+
+
+def _ksk_kernel_dev_pallas_impl(key, s_red, srot_small, w, wsh, rmod, rsh,
+                                p, npi, sigma, pk, rows, interpret):
+    from .pallas_ntt import ntt_fwd_pallas
+    a, e_red, sp_red = _ksk_dev_samples(key, srot_small, w, rmod, rsh,
+                                        p, sigma)
+    return _ksk_kernel_body(
+        s_red, sp_red, a, e_red, w, wsh, rmod, rsh, p, npi,
+        lambda x: ntt_fwd_pallas(x, pk, rows, interpret=interpret))
+
+
 import jax as _jax  # noqa: E402
 _ksk_kernel = _jax.jit(_ksk_kernel_impl)
 _ksk_kernel_pallas = _jax.jit(_ksk_kernel_pallas_impl,
                               static_argnums=(12,))
+_ksk_kernel_dev = _jax.jit(_ksk_kernel_dev_impl)
+_ksk_kernel_dev_pallas = _jax.jit(_ksk_kernel_dev_pallas_impl,
+                                  static_argnums=(12,))
 
 
 class Encryptor:

@@ -46,6 +46,12 @@ class CkksConfig:
     base_mod_bits: int = 30       # size of each base ("first modulus") prime
     dnum: int = 3                 # hybrid key-switch digit count
     num_special_primes: int | None = None  # default: ceil(nq/dnum)
+    # rotation-key HBM budget (MB): None keeps every generated key
+    # resident (dict semantics); a value caps resident rotation keys in a
+    # device LRU with deterministic on-demand regeneration
+    # (core/keystore.py) — required for pipelines whose key set exceeds
+    # HBM (e.g. MEHP24 N>=32 at ring 2^17 needs ~20-35 keys x ~0.5 GB)
+    rot_key_budget_mb: int | None = None
     seed: int = 2024
     sigma: float = 3.19           # error stddev
     batch_size: int | None = None  # default n/2 slots

@@ -80,6 +80,12 @@ def run_trial(algo: str, N: int, ring_log: int, seed: int,
     p = get_params(algo if algo != "direct2n" else "direct", N)
     # bitonic/k-way bootstrap mid-sort: sparse secret for EvalMod
     boot = {"secret_hw": 64} if algo in ("bitonic", "kway") else {}
+    if algo == "mehp24" and ring_log >= 16 and N >= 32:
+        # the mehp24 rotation-key set (~20-35 keys x ~0.5 GB) exceeds the
+        # 16 GB v5e; cap resident keys and regenerate on demand
+        # (core/keystore.py).  Override: SORTING_FHE_KEY_BUDGET_MB.
+        boot.setdefault("rot_key_budget_mb", int(os.environ.get(
+            "SORTING_FHE_KEY_BUDGET_MB", "5120")))
     cfg = (full_config(p, **boot) if ring_log >= 16
            else cheap_config(p, ring_log=ring_log, **boot))
     mon = MemoryMonitor().start()
