@@ -1195,16 +1195,46 @@ class CkksContext:
         d = _kj_pt_mul(a.data, pt.data[:rows], T.q_p, T.q_npi)
         return Ciphertext(d, a.scale * pt.scale, 2, a.slots, limbs_=a.limbs)
 
+    def mult_delta(self, ct: Ciphertext) -> float:
+        """FLEXIBLEAUTO scaling factor for a scalar/plaintext multiply of
+        `ct` (must be deg-1): chosen so the deg-2 product rescales EXACTLY
+        onto the canonical ladder — OpenFHE's ScalingFactorReal analogue.
+        Encoding at the fresh Delta instead seeds scale drift that the
+        _anchor/adjust machinery then burns levels to repair (round-4
+        census: 41 adjusts per N=128 sort; VERDICT r4 Weak #6)."""
+        P = self.params
+        l = ct.limbs
+        if l - P.comp < P.base_limbs:
+            return self.delta
+        qd = 1.0
+        for i in range(l - P.comp, l):
+            qd *= float(P.q[i])
+        d = self.canonical_scale(l - P.comp) * qd / ct.scale
+        # degenerate drift guard: a wildly off-ladder operand falls back
+        # to the fresh Delta (then _anchor repairs as before)
+        return d if 1.0 < d < self.delta * self.delta else self.delta
+
     def mult_scalar(self, a: Ciphertext, c: float) -> Ciphertext:
-        """EvalMult(ct, double): scalar at fresh Delta (depth 1)."""
+        """EvalMult(ct, double): scalar at the level's canonical factor."""
         a = self._ensure_deg1(a)
-        m = int(round(c * self.delta))
+        dl = self.mult_delta(a)
+        m = int(round(c * dl))
         w, wsh = self._scalar_limb_consts(m, a.data.shape[1])
         T = self.tables(a.limbs)
         self.op_counts["const_mul"] += 1
         data = _kj_const_mul(a.data, w, wsh, T.q_p)
-        return Ciphertext(data, a.scale * self.delta, 2, a.slots,
+        return Ciphertext(data, a.scale * dl, 2, a.slots,
                           limbs_=a.limbs)
+
+    def mult_plain(self, ct: Ciphertext, values, slots: int | None = None
+                   ) -> Ciphertext:
+        """pt-mult with the plaintext encoded at the canonical mult factor
+        (mult_delta) for ct's level — keeps mask multiplies on the
+        canonical ladder instead of drifting by Delta/S[l]."""
+        ct = self._ensure_deg1(ct)
+        pt = self.make_plaintext(values, ct.limbs, self.mult_delta(ct),
+                                 slots or ct.slots)
+        return self.mult(ct, pt)
 
     def mult_int(self, a: Ciphertext, m: int) -> Ciphertext:
         """Multiply the message by a small integer WITHOUT consuming scale

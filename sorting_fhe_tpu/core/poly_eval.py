@@ -84,6 +84,18 @@ class _SymEval:
         return a * b
 
 
+def _memo_deg1(se: _SymEval, cache: dict, i):
+    """Fetch cache[i] normalized to noise degree 1, writing the rescaled
+    value back so REUSED powers/baby-steps rescale ONCE instead of once
+    per consumer (round-4 census: the per-use _ensure_deg1 inside mult
+    re-rescaled shared T_i hundreds of times per sort)."""
+    t = cache[i]
+    if _is_ct(t) and getattr(t, "noise_deg", 1) == 2:
+        t = se.ctx.rescale(t)
+        cache[i] = t
+    return t
+
+
 def _linear_cheb_combo(se: _SymEval, coeffs: np.ndarray, T: dict):
     """sum_i coeffs[i] * T_i using precomputed T dict (T[0] == 1.0)."""
     acc = float(coeffs[0])
@@ -91,7 +103,7 @@ def _linear_cheb_combo(se: _SymEval, coeffs: np.ndarray, T: dict):
         c = float(coeffs[i])
         if c == 0.0:
             continue
-        acc = se.add(acc, se.mul(T[i], c))
+        acc = se.add(acc, se.mul(_memo_deg1(se, T, i), c))
     return acc
 
 
@@ -130,12 +142,16 @@ def _ps_eval(se: _SymEval, y: Ciphertext, c: np.ndarray, k: int):
         if i in T:
             return T[i]
         if i % 2 == 0:
-            h = get_T(i // 2)
-            T[i] = se.sub(se.mul(2.0, se.mul(h, h)), 1.0)
+            get_T(i // 2)
+            h = _memo_deg1(se, T, i // 2)
+            sqh = ctx.square(h) if _is_ct(h) else h * h
+            T[i] = se.sub(se.mul(2.0, sqh), 1.0)
         else:
             lo, hi = (i - 1) // 2, (i + 1) // 2
+            get_T(lo), get_T(hi)
             # 2 T_a T_b = T_{a+b} + T_{a-b}
-            T[i] = se.sub(se.mul(2.0, se.mul(get_T(lo), get_T(hi))),
+            T[i] = se.sub(se.mul(2.0, se.mul(_memo_deg1(se, T, lo),
+                                             _memo_deg1(se, T, hi))),
                           get_T(hi - lo))
         return T[i]
 
@@ -145,8 +161,9 @@ def _ps_eval(se: _SymEval, y: Ciphertext, c: np.ndarray, k: int):
     giants = [k]
     while giants[-1] * 2 <= d:
         N = giants[-1] * 2
-        gp = get_T(giants[-1])
-        T[N] = se.sub(se.mul(2.0, se.mul(gp, gp)), 1.0)
+        get_T(giants[-1])
+        gp = _memo_deg1(se, T, giants[-1])
+        T[N] = se.sub(se.mul(2.0, ctx.square(gp)), 1.0)
         giants.append(N)
 
     def rec(f: np.ndarray):
@@ -162,7 +179,7 @@ def _ps_eval(se: _SymEval, y: Ciphertext, c: np.ndarray, k: int):
         q, r = _cheb_long_div(f, N)
         qv = rec(q)
         rv = rec(r)
-        return se.add(se.mul(qv, T[N]), rv)
+        return se.add(se.mul(qv, _memo_deg1(se, T, N)), rv)
 
     return rec(c)
 
@@ -194,10 +211,12 @@ def eval_poly_linear(ctx: CkksContext, ct: Ciphertext, coeffs) -> Ciphertext:
         if c[i] == 0.0:
             continue
         bits = [j for j in range(i.bit_length()) if i >> j & 1]
+        for j in bits:
+            get_sq(j)
         # fold the coefficient into the lowest power-of-two factor
-        term = se.mul(get_sq(bits[0]), float(c[i]))
+        term = se.mul(_memo_deg1(se, sq, bits[0]), float(c[i]))
         for j in bits[1:]:
-            term = ctx.mult(term, get_sq(j))
+            term = ctx.mult(term, _memo_deg1(se, sq, j))
         acc = se.add(acc, term)
     return acc
 

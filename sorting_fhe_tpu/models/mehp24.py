@@ -116,13 +116,15 @@ class Mehp24:
         sz = self.size
         m = np.zeros(sz * sz)
         m[sz * row: sz * row + sz] = 1.0
-        return self.ctx.mult(c, self._pt(m, c))
+        # canonical-factor plaintext: the mask product lands back on the
+        # scale ladder instead of drifting by Delta/S[l] (VERDICT r4 #8)
+        return self.ctx.mult_plain(c, m, self._slots())
 
     def mask_column(self, c, col):
         sz = self.size
         m = np.zeros(sz * sz)
         m[col::sz] = 1.0
-        return self.ctx.mult(c, self._pt(m, c))
+        return self.ctx.mult_plain(c, m, self._slots())
 
     def replicate_row(self, c):
         sz = self.size
@@ -324,8 +326,7 @@ def split_ciphertext(ctx: CkksContext, c: Ciphertext, total_len: int,
     for i in range(num):
         mask = np.zeros(total_len)
         mask[i * sub_len:(i + 1) * sub_len] = 1.0
-        pt = ctx.make_plaintext(mask, c.limbs, ctx.delta, c.slots)
-        part = ctx.mult(c, pt)
+        part = ctx.mult_plain(c, mask, c.slots)
         if i > 0:
             part = ctx.rotate(part, i * sub_len)
         out.append(part)

@@ -35,6 +35,7 @@ from .core.params import CkksConfig
 HESTD_128_CLASSIC_LOGQP = {
     1 << 10: 27, 1 << 11: 54, 1 << 12: 109, 1 << 13: 218,
     1 << 14: 438, 1 << 15: 881, 1 << 16: 1772, 1 << 17: 3523,
+    1 << 18: 7101,
 }
 
 
@@ -123,15 +124,34 @@ _H1_DEPTH = {4: 31, 8: 35, 16: 35, 32: 42, 64: 42, 128: 46, 256: 49,
 _H2_DEPTH = {4: 24, 8: 25, 16: 25, 32: 29, 64: 30, 128: 31, 256: 35,
              512: 36, 1024: 40}
 
-# MEHP24 fixture depths: Mehp24SortTest.cpp:39-72 (rotation set computed by
-# mehp24.rotation_indices at runtime, mehp24_utils.cpp:186-213), +3 levels
-# of measured TPU-chain overhead: our sortFG consumes 34 levels at N=4 vs
-# the fixture's 31 (the masked-transpose input enters the compare chain at
-# noise degree 2, and the exact-scale adjustment machinery burns two more
-# across the pipeline).  hybrid1/hybrid2/direct match their fixtures
-# exactly.
-_MEHP_DEPTH = {4: 34, 8: 38, 16: 38, 32: 45, 64: 45, 128: 49, 256: 52,
-               512: 60, 1024: 63, 2048: 67}
+# MEHP24 depths: measured consumption + 2 margin (+4 for the multi-ct
+# split tier N>256).  Measured on the CPU tier (round 5): sortFG consumes
+# 8 + 3(dg_c+df_c) + 3(dg_i+df_i) levels (N=4: 29, N=8/16: 32 — canonical
+# -factor plaintext encodes removed the round-4 adjust/anchor overhead
+# that had cost +3 over the reference).  Reference fixtures for
+# comparison: 31/35/35/42/42/46/49/57/60 (Mehp24SortTest.cpp:39-72) —
+# ours are now at-or-below the fixture at every N.
+_MEHP_DEPTH = {4: 31, 8: 34, 16: 34, 32: 40, 64: 40, 128: 43, 256: 46,
+               512: 51, 1024: 54, 2048: 58}
+
+
+def _fits_2e17(depth: int, scale_bits: int = 56) -> bool:
+    """Model check: can ANY dnum keep logQP within the ring-2^17 HEStd
+    ceiling at this depth?  (uint32-RNS tax: our 56-bit level pairs are
+    fatter than the reference's 40-bit primes, so very deep chains that
+    fit OpenFHE at 2^17 need ring 2^18 here — ROUND4_NOTES honest limit;
+    the model is calibrated -1 depth vs the measured depth-56 chain.)"""
+    limit = HESTD_128_CLASSIC_LOGQP[1 << 17]
+    logq = 3 * 30 + depth * scale_bits
+    nq = 3 + 2 * depth
+    ksp = -(-nq // 14)                       # largest supported dnum
+    # +31 slack: the measured depth-56 chain came in 54 bits over this
+    # model (round-4 bench), so require one special prime of margin
+    return logq + ksp * 31 + 31 <= limit
+
+
+def _ring_for(depth: int) -> int:
+    return (1 << 17) if _fits_2e17(depth) else (1 << 18)
 
 
 def _build() -> dict[tuple[str, int], SortParams]:
@@ -139,20 +159,26 @@ def _build() -> dict[tuple[str, int], SortParams]:
     reg: dict[tuple[str, int], SortParams] = {}
     for N, d in _DIRECT_DEPTH.items():
         reg[("direct", N)] = SortParams(
-            "direct", N, d, tuple(DIRECT_SORT_ROTATIONS[N]))
+            "direct", N, d, tuple(DIRECT_SORT_ROTATIONS[N]),
+            ring_dim_full=_ring_for(d))
     for N, d in _HYBRID_DEPTH.items():
-        reg[("hybrid", N)] = SortParams("hybrid", N, d, _HYBRID_ROTS[N])
+        reg[("hybrid", N)] = SortParams("hybrid", N, d, _HYBRID_ROTS[N],
+                                        ring_dim_full=_ring_for(d))
     for N, d in _H1_DEPTH.items():
-        reg[("hybrid1", N)] = SortParams("hybrid1", N, d, _HYBRID_ROTS[N])
+        reg[("hybrid1", N)] = SortParams("hybrid1", N, d, _HYBRID_ROTS[N],
+                                         ring_dim_full=_ring_for(d))
     for N, d in _H2_DEPTH.items():
-        reg[("hybrid2", N)] = SortParams("hybrid2", N, d, _HYBRID_ROTS[N])
+        reg[("hybrid2", N)] = SortParams("hybrid2", N, d, _HYBRID_ROTS[N],
+                                         ring_dim_full=_ring_for(d))
     for N, d in _MEHP_DEPTH.items():
-        reg[("mehp24", N)] = SortParams("mehp24", N, d)
+        reg[("mehp24", N)] = SortParams("mehp24", N, d,
+                                        ring_dim_full=_ring_for(d))
     for N in (4, 8, 16, 32, 64, 128, 256, 512, 1024):
         # BitonicSortTest.cpp:54 (MultDepth 58, ring 2^12 in the fixture;
         # full tier keeps ring 2^17), sign (4,3,3) at line 72
         reg[("bitonic", N)] = SortParams(
-            "bitonic", N, 58, _pow2_pm(N), sign=(4, 3, 3))
+            "bitonic", N, 58, _pow2_pm(N), sign=(4, 3, 3),
+            ring_dim_full=_ring_for(58))
     # k-way grids: N = k^M for k in {2, 3, 5} (kway_adapter.h:41-64 depth
     # 40, budgets {4,4} N<=128 / {5,5}; per-size CompositeSignConfig(3,
     # d_f, d_g) ladders from tests/k-way/KWaySort{2,3,5}Test.cpp:85-140 —
@@ -200,7 +226,9 @@ def _dnum_for(depth: int, ring_dim: int, scale_bits: int = 56) -> int:
         ksp = -(-nq // dnum)
         logqp = logq + ksp * 31
         best = dnum
-        if limit is None or logqp <= limit:
+        # +31 margin: measured chains run ~1 bit/level over this model
+        # (depth-56 chain measured 3559 vs modeled 3505, round-4 bench)
+        if limit is None or logqp + 31 <= limit:
             break
     return best
 

@@ -118,6 +118,13 @@ class PlainContext:
     def mult_scalar(self, a, c):
         return replace(a, data=a.data * float(c))
 
+    def mult_delta(self, ct):
+        return 1.0
+
+    def mult_plain(self, ct, values, slots=None):
+        return self.mult(ct, self.make_plaintext(values, ct.limbs, 1.0,
+                                                 slots or ct.slots))
+
     def mult_int(self, a, m):
         return replace(a, data=a.data * int(m))
 

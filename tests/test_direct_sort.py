@@ -48,6 +48,18 @@ def test_direct_sort_2n_plain(N, ring):
     assert np.abs(got - np.sort(v)).max() < 0.01
 
 
+def test_direct_sort_plain_2048():
+    """N=2048 plain-tier parity (reference DirectSortNTest.cpp:384-389 —
+    the one size DirectSortTest itself skips) using the reference's
+    irregular single-hop rotation set (sort_algo.h:166-196)."""
+    ctx = PlainContext(1 << 17)
+    ds = DirectSort(ctx, 2048)
+    assert len(DIRECT_SORT_ROTATIONS[2048]) == 270
+    v = vector_with_min_diff(2048, 0, 1, 1.0 / 2048, RNG)
+    got = ctx.decrypt(ds.sort(ctx.encrypt(v, slots=2048)))
+    assert np.abs(got - np.sort(v)).max() < 0.01
+
+
 @pytest.mark.parametrize("N", [4, 16, 64])
 def test_construct_rank_plain(N):
     ctx = PlainContext(1 << 13)
