@@ -98,12 +98,13 @@ class BitonicSort:
                         self._consumed(result) > self.bootstrap_level:
                     result = self.bootstrap_hook(result)
                 m1, m2, m3, m4 = self._stage_masks(k, j)
-                pt = lambda m: ctx.make_plaintext(m, result.limbs, ctx.delta,
-                                                  N)
-                arr1 = ctx.mult(result, pt(m1))
-                arr2 = ctx.mult(result, pt(m2))
-                arr3 = ctx.mult(result, pt(m3))
-                arr4 = ctx.mult(result, pt(m4))
+                # canonical-factor mask encodes: products land back on the
+                # scale ladder (drift here seeded the round-3 runaway that
+                # _anchor was built to contain)
+                arr1 = ctx.mult_plain(result, m1, N)
+                arr2 = ctx.mult_plain(result, m2, N)
+                arr3 = ctx.mult_plain(result, m3, N)
+                arr4 = ctx.mult_plain(result, m4, N)
                 arr5_1 = self.rot.rotate(arr1, -j)
                 arr5_2 = self.rot.rotate(arr3, -j)
                 arr6_1 = self.rot.rotate(arr2, j)

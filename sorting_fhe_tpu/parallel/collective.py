@@ -150,6 +150,7 @@ class ShardedKeyswitch:
         self.t_ninv_s_sh = ntt.n_inv_sh[sprows]
 
         self._mult_relin = self._build_mult_relin()
+        self._rotate_fused = self._build_rotate_fused()
 
     # ------------------------------------------------------------------
     def collective_bytes(self, k: int = 1) -> dict:
@@ -162,6 +163,28 @@ class ShardedKeyswitch:
         return {"digit_allgather_B": int(gather1),
                 "moddown_allgather_B": int(gather2),
                 "total_B": int(gather1 + gather2)}
+
+    def comm_budget(self, census: dict) -> dict:
+        """Projected per-sort ICI receive volume: designed collective
+        bytes x keyswitch-op census (VERDICT r4 #7 — the quantitative
+        spine of the multi-chip claim, since every keyswitch consumer
+        moves exactly the two designed gathers and everything else is
+        row-local).  census: a CkksContext.op_counts dict."""
+        b = self.collective_bytes(k=2)
+        ops = {op: census.get(op, 0)
+               for op in ("mult_relin", "square_relin", "rotate_fused",
+                          "fast_rotate", "relin3")}
+        n_ks = sum(ops.values())
+        # hoisted rotations share ONE digit gather per decompose: count
+        # the moddown gather per op but the digit gather per decompose
+        n_dig = n_ks - ops["fast_rotate"] + census.get("decompose", 0)
+        total = (n_dig * b["digit_allgather_B"]
+                 + n_ks * b["moddown_allgather_B"])
+        return {"keyswitch_ops": n_ks, "digit_gathers": n_dig,
+                "digit_allgather_B": b["digit_allgather_B"],
+                "moddown_allgather_B": b["moddown_allgather_B"],
+                "total_receive_B": int(total),
+                "total_receive_GB": round(total / 1e9, 3)}
 
     # ------------------------------------------------------------------
     def _build_mult_relin(self):
@@ -261,6 +284,129 @@ class ShardedKeyswitch:
             body, mesh=mesh, in_specs=specs, out_specs=data,
             check_vma=False))
         return sm
+
+    # ------------------------------------------------------------------
+    def _build_rotate_fused(self):
+        """Explicit-collective fused EvalRotate: decompose + automorphism
+        + key inner product + moddown with the SAME two designed
+        all-gathers as mult_relin (VERDICT r4 #7 — the fused rotation is
+        the other keyswitch consumer, ~30% of a sort).  The automorphism
+        itself is a pure eval-domain coefficient permutation, row-local
+        under limb sharding: zero extra communication."""
+        mesh = self.mesh
+        lq, ksp, ndig = self.lq, self.ksp, self.ndig
+        axis = mesh.axis_names[0]
+        row = P(axis)
+        rown = P(axis, None)
+        data = P(None, axis, None)
+        digq = P(None, axis, None)
+        ksk_q = P(None, None, axis, None)
+
+        def body(cdata, kq, ks, perm, q_p, q_npi, psi_q, psi_q_sh, ipsi_q,
+                 ipsi_q_sh, ninv_q, ninv_q_sh, sp_p, sp_npi, psi_s,
+                 psi_s_sh, ipsi_s, ipsi_s_sh, ninv_s, ninv_s_sh,
+                 w_in, w_in_sh, CW_q, CSh_q, CW_s, CSh_s, dig_of_row,
+                 md_w, md_w_sh, MW, MSh, md_pinv, md_pinv_sh):
+            pq = q_p.reshape(1, -1, 1)
+            # ---- digit decomposition of c1 (local rows) ----
+            cc = ntt_inv_t(cdata[1], q_p, ipsi_q, ipsi_q_sh,
+                           ninv_q, ninv_q_sh)           # [lq/D, n] Mont
+            xhat_l = shoup_mul(cc, w_in.reshape(-1, 1),
+                               w_in_sh.reshape(-1, 1), q_p.reshape(-1, 1))
+            # >>> COLLECTIVE 1: digit residues to every device <<<
+            xhat = jax.lax.all_gather(xhat_l, axis, axis=0, tiled=True)
+
+            def crt(CW_part, CSh_part, p_part):
+                accs = []
+                pp = p_part.reshape(-1, 1)
+                for j in range(ndig):
+                    acc = None
+                    for ai in range(lq):
+                        w = CW_part[j, :, ai].reshape(-1, 1)
+                        wsh = CSh_part[j, :, ai].reshape(-1, 1)
+                        t = shoup_mul(xhat[ai][None, :], w, wsh, pp)
+                        acc = t if acc is None else add_mod(acc, t, pp)
+                    accs.append(acc)
+                return jnp.stack(accs)
+            eq = crt(CW_q, CSh_q, q_p)
+            es = crt(CW_s, CSh_s, sp_p)
+            # local dig_of_row block (P(axis) in_spec) — see mult_relin
+            dig_mask = jax.nn.one_hot(dig_of_row, ndig, dtype=jnp.uint32)
+            keep = 1 - dig_mask.T[:, :, None]
+            eq = eq * keep + dig_mask.T[:, :, None] * cc[None]
+            eq = ntt_fwd_t(eq, q_p, psi_q, psi_q_sh)
+            es = ntt_fwd_t(es, sp_p, psi_s, psi_s_sh)
+            # ---- automorphism: eval-domain permutation, row-local ----
+            eq = eq[..., perm]
+            es = es[..., perm]
+            # ---- key inner product (local) ----
+            ps = sp_p.reshape(1, -1, 1)
+            ns_ = sp_npi.reshape(1, -1, 1)
+            nq_ = q_npi.reshape(1, -1, 1)
+            acc_q = None
+            acc_s = None
+            for j in range(ndig):
+                tq = mont_mul(eq[j][None], kq[j], pq, nq_)
+                ts = mont_mul(es[j][None], ks[j], ps, ns_)
+                acc_q = tq if acc_q is None else add_mod(acc_q, tq, pq)
+                acc_s = ts if acc_s is None else add_mod(acc_s, ts, ps)
+            # ---- moddown ----
+            spc = ntt_inv_t(acc_s, sp_p, ipsi_s, ipsi_s_sh,
+                            ninv_s, ninv_s_sh)
+            xs_l = shoup_mul(spc, md_w.reshape(1, -1, 1),
+                             md_w_sh.reshape(1, -1, 1), ps)
+            # >>> COLLECTIVE 2: special residues to every q row <<<
+            xs = jax.lax.all_gather(xs_l, axis, axis=1, tiled=True)
+            conv = None
+            for ai in range(ksp):
+                w = MW[:, ai].reshape(1, -1, 1)
+                wsh = MSh[:, ai].reshape(1, -1, 1)
+                t = shoup_mul(xs[:, ai:ai + 1, :], w, wsh, pq)
+                conv = t if conv is None else add_mod(conv, t, pq)
+            convn = ntt_fwd_t(conv, q_p, psi_q, psi_q_sh)
+            diff = sub_mod(acc_q, convn, pq)
+            dd = shoup_mul(diff, md_pinv.reshape(1, -1, 1),
+                           md_pinv_sh.reshape(1, -1, 1), pq)
+            c0p = cdata[0:1][..., perm]
+            c0 = add_mod(c0p, dd[0:1], pq)
+            return jnp.concatenate([c0, dd[1:2]], axis=0)
+
+        specs = (data, ksk_q, ksk_q, P(None),
+                 row, row, rown, rown, rown, rown, row, row,
+                 row, row, rown, rown, rown, rown, row, row,
+                 row, row, digq, digq, digq, digq, P(axis),
+                 row, row, rown, rown, row, row)
+        return jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=specs, out_specs=data,
+            check_vma=False))
+
+    def rotate(self, ct: Ciphertext, k: int) -> Ciphertext:
+        """Explicit-collective fused EvalRotate at full level."""
+        ctx = self.ctx
+        assert ct.limbs == self.lq, \
+            "demonstrator operates at the full limb count"
+        half = ctx.n // 2
+        kk = k % half
+        if kk == 0 or k % ct.slots == 0:
+            return ct
+        assert kk in ctx.rot_keys, f"missing rotation key {k}"
+        ksk = ctx.rot_keys[kk]
+        kq = ksk[: self.ndig][:, :, : self.lq, :]
+        ks = ksk[: self.ndig][:, :, ctx.params.nq:
+                              ctx.params.nq + self.ksp, :]
+        out = self._rotate_fused(
+            ct.data, kq, ks, ctx._perm(kk), self.q_p, self.q_npi,
+            self.t_psi_q, self.t_psi_q_sh, self.t_ipsi_q,
+            self.t_ipsi_q_sh, self.t_ninv_q, self.t_ninv_q_sh,
+            self.sp_p, self.sp_npi, self.t_psi_s, self.t_psi_s_sh,
+            self.t_ipsi_s, self.t_ipsi_s_sh, self.t_ninv_s,
+            self.t_ninv_s_sh, self.w_in, self.w_in_sh,
+            self.CW_q, self.CSh_q, self.CW_s, self.CSh_s,
+            self.dig_of_row, self.md_w, self.md_w_sh, self.MW, self.MSh,
+            self.md_pinv, self.md_pinv_sh)
+        ctx.rot_count += 1
+        from dataclasses import replace as _replace
+        return _replace(ct, data=out)
 
     # ------------------------------------------------------------------
     def mult_relin(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:

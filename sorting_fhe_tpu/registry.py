@@ -174,11 +174,15 @@ def _build() -> dict[tuple[str, int], SortParams]:
         reg[("mehp24", N)] = SortParams("mehp24", N, d,
                                         ring_dim_full=_ring_for(d))
     for N in (4, 8, 16, 32, 64, 128, 256, 512, 1024):
-        # BitonicSortTest.cpp:54 (MultDepth 58, ring 2^12 in the fixture;
-        # full tier keeps ring 2^17), sign (4,3,3) at line 72
+        # Sign (4,3,3) per BitonicSortTest.cpp:72.  Depth: the fixture's
+        # 58 (cheap ring 2^12, 40-bit scales) does NOT fit HEStd-128 at
+        # ring 2^17 with 56-bit uint32 level pairs; 52 does (dnum 8,
+        # modeled logQP 3467), and covers one ~30-level stage (mask +
+        # CompositeSign(4,3,3) + select) plus the ~16-level bootstrap
+        # between stages (sort_algo.h:1436-1438 boots at consumed > 29).
         reg[("bitonic", N)] = SortParams(
-            "bitonic", N, 58, _pow2_pm(N), sign=(4, 3, 3),
-            ring_dim_full=_ring_for(58))
+            "bitonic", N, 52, _pow2_pm(N), sign=(4, 3, 3),
+            ring_dim_full=_ring_for(52))
     # k-way grids: N = k^M for k in {2, 3, 5} (kway_adapter.h:41-64 depth
     # 40, budgets {4,4} N<=128 / {5,5}; per-size CompositeSignConfig(3,
     # d_f, d_g) ladders from tests/k-way/KWaySort{2,3,5}Test.cpp:85-140 —

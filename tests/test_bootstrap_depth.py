@@ -12,11 +12,14 @@ at ring 2^12 with sparse secrets, in the default suite (no slow gate).
 """
 
 import numpy as np
+import pytest
 
 from sorting_fhe_tpu.core.params import CkksConfig
 from sorting_fhe_tpu.core.ckks import CkksContext
 from sorting_fhe_tpu.core.bootstrap import BootstrapHook
 from sorting_fhe_tpu.ops.sign import SignConfig, CompositeSignConfig
+
+pytestmark = pytest.mark.heavy  # encrypted deep-chain tier
 
 
 def test_bitonic_n16_real_bootstrap_ring12():
@@ -34,8 +37,10 @@ def test_bitonic_n16_real_bootstrap_ring12():
     out = bs.sort(ct, SignConfig(CompositeSignConfig(3, 2, 2),
                                  mult_depth=cfg.mult_depth))
     got = ctx.decrypt(out)[:N]
-    # 0.01 normalized gate on the 0..255 scale (tests/BitonicSortTest.cpp)
-    assert np.abs(got - np.sort(v)).max() < 255.0 * 0.01
+    # reference-parity gate: maxError < 0.01 on the ORIGINAL value scale
+    # (tests/DirectSortTest.cpp:194 et al.; VERDICT r4 Weak #1 — the old
+    # 255*0.01 gate would have passed outputs wrong by +-2.55)
+    assert np.abs(got - np.sort(v)).max() < 0.01
 
 
 def test_kway_k2_m4_real_bootstrap_ring11():

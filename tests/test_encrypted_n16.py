@@ -19,6 +19,8 @@ from sorting_fhe_tpu.utils.testvec import vector_with_min_diff
 
 RNG = np.random.default_rng(21)
 
+pytestmark = pytest.mark.heavy  # encrypted deep-chain tier
+
 
 def test_direct_sort_encrypted_n16():
     from sorting_fhe_tpu.models.direct_sort import DirectSort

@@ -83,6 +83,7 @@ def test_streamed_rotation_matches_resident():
     assert np.abs(outs[0] - outs[1]).max() < 1e-3
 
 
+@pytest.mark.heavy
 def test_mehp24_sort_under_budget():
     """End-to-end mehp24 sortFG with a budget that forces eviction."""
     from sorting_fhe_tpu.models.mehp24 import sort_fg

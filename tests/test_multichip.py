@@ -115,6 +115,35 @@ def test_explicit_collective_keyswitch(sctx, mesh):
     assert bytes_["moddown_allgather_B"] == int(7 / 8 * 2 * 8 * 256 * 4)
 
 
+def test_explicit_collective_rotate_fused(sctx, mesh):
+    """Explicit-collective fused rotation (VERDICT r4 #7): matches the
+    GSPMD evaluator, and the per-sort comm budget composes bytes x op
+    census."""
+    from sorting_fhe_tpu.parallel.collective import ShardedKeyswitch
+    ctx = sctx
+    ctx.gen_rotation_keys([1, 3])
+    N = 4
+    v = vector_with_min_diff(N, 0, 1, 1.0 / N, RNG)
+    a = shard_ciphertext(ctx.encrypt(v, slots=N), mesh)
+    sk = ShardedKeyswitch(ctx, mesh)
+    for k in (1, 3):
+        got = ctx.decrypt(sk.rotate(a, k))[:N]
+        want = np.roll(v, -k)
+        assert np.abs(got - want).max() < 1e-2, k
+        ref = ctx.decrypt(ctx.rotate(a, k))[:N]
+        assert np.abs(got - ref).max() < 1e-4, k
+    # comm budget: every keyswitch consumer moves the two designed
+    # gathers; hoisted fast-rotations share one digit gather
+    census = {"mult_relin": 10, "rotate_fused": 5, "fast_rotate": 6,
+              "decompose": 2, "square_relin": 0}
+    bud = sk.comm_budget(census)
+    b = sk.collective_bytes(k=2)
+    assert bud["keyswitch_ops"] == 21
+    assert bud["digit_gathers"] == 17
+    assert bud["total_receive_B"] == (17 * b["digit_allgather_B"]
+                                      + 21 * b["moddown_allgather_B"])
+
+
 def test_explicit_collective_digit_boundary_spans_device():
     """Regression (ADVICE r4): a digit boundary INSIDE one device's row
     block.  nq=16, dnum=3 -> alpha=6 (digits [0:6],[6:12],[12:16]); on a
