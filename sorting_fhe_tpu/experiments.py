@@ -87,10 +87,11 @@ def run_trial(algo: str, N: int, ring_log: int, seed: int,
     p = get_params(algo if algo != "direct2n" else "direct", N)
     # bitonic/k-way bootstrap mid-sort: sparse secret for EvalMod
     boot = {"secret_hw": 64} if algo in ("bitonic", "kway") else {}
-    if algo == "mehp24" and ring_log >= 16 and N >= 32:
-        # the mehp24 rotation-key set (~20-35 keys x ~0.5 GB) exceeds the
-        # 16 GB v5e; cap resident keys and regenerate on demand
-        # (core/keystore.py).  Override: SORTING_FHE_KEY_BUDGET_MB.
+    if ring_log >= 16 and (
+            (algo == "mehp24" and N >= 32) or algo in ("bitonic", "kway")):
+        # key sets past HBM: mehp24's ~20-35 single-hop indices, and the
+        # ~30 BSGS/trace keys per bootstrap slot-width for bitonic/k-way.
+        # Cap resident keys, regenerate on demand (core/keystore.py).
         boot.setdefault("rot_key_budget_mb", int(os.environ.get(
             "SORTING_FHE_KEY_BUDGET_MB", "5120")))
     cfg = (full_config(p, **boot) if ring_log >= 16
