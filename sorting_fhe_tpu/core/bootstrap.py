@@ -90,6 +90,7 @@ class Bootstrapper:
                < ctx.cfg.scale_bits + margin_bits):
             l += 1
         self.raise_limbs = l
+        self.margin_bits = margin_bits
 
         # ---- host: subring embedding matrix and its inverse ----
         s = slots
@@ -201,6 +202,19 @@ class Bootstrapper:
         if ct.limbs > base:
             ct = ctx.adjust_to(ct, base, ctx.canonical_scale(base))
         ct = ctx.level_reduce(ct, min(ct.limbs, self.raise_limbs))
+        # Raise the SCALE to q0 / 2^margin with an exact integer multiply
+        # (message and noise scale together — relative noise unchanged).
+        # Without this, delta0 is the chain's Delta and EvalMod's sine
+        # amplitude q0/(2 pi delta0) multiplies the Chebyshev fit error:
+        # at the full tier the 3x30-bit base gives q0/Delta = 2^34, which
+        # turned the 2^-34 fit tolerance into O(0.1) output error (the
+        # ring-2^17 bootstrap-proof failure).  Small CPU tiers only had
+        # 2^8 of slack, masking this.  OpenFHE's AdjustCiphertext does
+        # the equivalent scale correction before ModRaise.
+        f = int(self._q0 / (1 << self.margin_bits) / ct.scale)
+        if f > 1:
+            from dataclasses import replace as _rep
+            ct = _rep(ctx.mult_int(ct, f), scale=ct.scale * f)
         delta0 = ct.scale
 
         raised = ctx.mod_raise(ct)
