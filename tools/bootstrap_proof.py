@@ -77,6 +77,9 @@ def main():
     # deplete to near the bottom of the chain (the bitonic trigger state)
     ct = ctx.level_reduce(ct, bs.raise_limbs)
 
+    outdir_ = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "experimental_results", "tpu_bootstrap")
+    os.makedirs(outdir_, exist_ok=True)
     times = []
     errs = []
     for trial in range(3):
@@ -91,6 +94,11 @@ def main():
         log(f"[boot] trial {trial}: {dt:.2f}s  out_limbs={out.limbs} "
             f"(levels left: {(out.limbs - ctx.params.base_limbs) // ctx.params.comp}) "
             f"max_err={err:.3e} regen={ctx.rot_keys.regen_count}")
+        # incremental dump: a killed run still leaves its record
+        with open(os.path.join(outdir_,
+                               f"BOOTSTRAP_slots{slots}_partial.json"),
+                  "w") as f:
+            json.dump({"trials": times, "errs": errs}, f)
 
     rec = {
         "metric": f"bootstrap_slots{slots}_ring2e17",
