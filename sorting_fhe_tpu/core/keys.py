@@ -320,51 +320,68 @@ def _ksk_kernel_pallas_impl(s_red, sp_red, a, e_red, w, wsh, rmod, rsh,
         lambda x: ntt_fwd_pallas(x, pk, rows, interpret=interpret))
 
 
-def _ksk_dev_samples(key, srot_small, w, rmod, rsh, p, sigma):
-    """Device-side PRNG sampling for one KSK: uniform a (64-bit draw
-    folded mod p — bias ~p/2^64), rounded-gaussian e, and the residue
-    expansion of the small rotated secret."""
+def _ksk_dev_body(key, s_red, srot_small, w, wsh, rmod, rsh, p, npi,
+                  sigma, fwd):
+    """Device-PRNG KSK assembly, STREAMED per digit with lax.map: the
+    whole-key draw held a ~1 GB bits tensor plus ~2 GB of intermediates
+    live at once, which OOMed bootstrap-heavy sorts that regenerate keys
+    mid-flight (round-5 bitonic trial).  Per-digit transients are ~8x
+    smaller; PRNG streams are split deterministically per digit so keys
+    stay bit-reproducible across regenerations."""
     import jax
     import jax.numpy as jnp
-    from .rns import add_mod, shoup_mul
+    from .rns import add_mod, sub_mod, shoup_mul, mont_mul
 
-    dnum, nrows = w.shape
+    nrows = s_red.shape[0]
     n = srot_small.shape[0]
-    kb, ke = jax.random.split(key)
-    bits = jax.random.bits(kb, (2, dnum, nrows, n), jnp.uint32)
-    p2 = p.reshape(1, -1, 1)
-    a = add_mod(shoup_mul(bits[0], rmod.reshape(1, -1, 1),
-                          rsh.reshape(1, -1, 1), p2),
-                jnp.remainder(bits[1], p2), p2)
-    e = jnp.round(jax.random.normal(ke, (dnum, n), jnp.float32)
-                  * sigma).astype(jnp.int32)
+    p1 = p.reshape(-1, 1)
+    npi1 = npi.reshape(-1, 1)
     p_i32 = p.astype(jnp.int32)
-    e_red = jnp.where(e[:, None, :] < 0,
-                      p_i32.reshape(1, -1, 1) + e[:, None, :],
-                      e[:, None, :]).astype(jnp.uint32)
+    to_mont = lambda x: shoup_mul(x, rmod.reshape(-1, 1),
+                                  rsh.reshape(-1, 1), p1)
+    s_ntt = fwd(to_mont(s_red))
     sp_red = jnp.where(srot_small[None, :] < 0,
                        p_i32.reshape(-1, 1) + srot_small[None, :],
                        srot_small[None, :]).astype(jnp.uint32)
-    return a, e_red, sp_red
+    sp_ntt = fwd(to_mont(sp_red))
+
+    dnum = w.shape[0]
+    dkeys = jax.random.split(key, dnum)
+
+    def per_digit(args):
+        kj, w_j, wsh_j = args
+        kb, ke = jax.random.split(kj)
+        bits = jax.random.bits(kb, (2, nrows, n), jnp.uint32)
+        # uniform a: 64-bit draw folded mod p (bias ~p/2^64)
+        a_j = add_mod(shoup_mul(bits[0], rmod.reshape(-1, 1),
+                                rsh.reshape(-1, 1), p1),
+                      jnp.remainder(bits[1], p1), p1)
+        e = jnp.round(jax.random.normal(ke, (n,), jnp.float32)
+                      * sigma).astype(jnp.int32)
+        e_red = jnp.where(e[None, :] < 0, p_i32.reshape(-1, 1) + e[None, :],
+                          e[None, :]).astype(jnp.uint32)
+        e_ntt = fwd(to_mont(e_red))
+        term = shoup_mul(sp_ntt, w_j.reshape(-1, 1), wsh_j.reshape(-1, 1),
+                         p1)
+        asl = mont_mul(a_j, s_ntt, p1, npi1)
+        b = add_mod(sub_mod(e_ntt, asl, p1), term, p1)
+        return jnp.stack([b, a_j])                    # [2, nrows, n]
+
+    return jax.lax.map(per_digit, (dkeys, w, wsh))    # [dnum, 2, nrows, n]
 
 
 def _ksk_kernel_dev_impl(key, s_red, srot_small, w, wsh, rmod, rsh,
                          p, npi, sigma, psi, psi_sh):
     from .ntt import ntt_fwd_t
-    a, e_red, sp_red = _ksk_dev_samples(key, srot_small, w, rmod, rsh,
-                                        p, sigma)
-    return _ksk_kernel_body(
-        s_red, sp_red, a, e_red, w, wsh, rmod, rsh, p, npi,
-        lambda x: ntt_fwd_t(x, p, psi, psi_sh))
+    return _ksk_dev_body(key, s_red, srot_small, w, wsh, rmod, rsh, p,
+                         npi, sigma, lambda x: ntt_fwd_t(x, p, psi, psi_sh))
 
 
 def _ksk_kernel_dev_pallas_impl(key, s_red, srot_small, w, wsh, rmod, rsh,
                                 p, npi, sigma, pk, rows, interpret):
     from .pallas_ntt import ntt_fwd_pallas
-    a, e_red, sp_red = _ksk_dev_samples(key, srot_small, w, rmod, rsh,
-                                        p, sigma)
-    return _ksk_kernel_body(
-        s_red, sp_red, a, e_red, w, wsh, rmod, rsh, p, npi,
+    return _ksk_dev_body(
+        key, s_red, srot_small, w, wsh, rmod, rsh, p, npi, sigma,
         lambda x: ntt_fwd_pallas(x, pk, rows, interpret=interpret))
 
 

@@ -153,6 +153,16 @@ def run_trial(algo: str, N: int, ring_log: int, seed: int,
         del sorter, ct, out, ctx
         import gc
         gc.collect()
+    else:
+        # trial-boundary trim: the device plaintext cache refills cheaply
+        # from the host row cache (~0.1 s/mask); dropping it between
+        # trials returns 1-3 GB of headroom — bootstrap-heavy pipelines
+        # (kway/bitonic slots-128 boots) OOMed trial 2 without this
+        ctx._pt_cache.clear()
+        ctx._pt_cache_bytes = 0
+        del ct, out
+        import gc
+        gc.collect()
     res = {
         "algo": algo, "N": N, "ring_dim": cfg.ring_dim,
         "mult_depth": cfg.mult_depth, "scale_bits": cfg.scale_bits,
