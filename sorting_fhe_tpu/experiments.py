@@ -88,10 +88,14 @@ def run_trial(algo: str, N: int, ring_log: int, seed: int,
     # bitonic/k-way bootstrap mid-sort: sparse secret for EvalMod
     boot = {"secret_hw": 64} if algo in ("bitonic", "kway") else {}
     if ring_log >= 16 and (
-            (algo == "mehp24" and N >= 32) or algo in ("bitonic", "kway")):
-        # key sets past HBM: mehp24's ~20-35 single-hop indices, and the
-        # ~30 BSGS/trace keys per bootstrap slot-width for bitonic/k-way.
-        # Cap resident keys, regenerate on demand (core/keystore.py).
+            (algo == "mehp24" and N >= 32) or algo in ("bitonic", "kway")
+            or N >= 256):
+        # key sets past HBM: mehp24's ~20-35 single-hop indices, the
+        # ~30 BSGS/trace keys per bootstrap slot-width for bitonic/k-way,
+        # and the direct-family N>=256 pow-2 ladder whose dnum-5 keys
+        # (12 x 0.64 GB) left trial 2 no transient headroom (the N=256
+        # warm-trial OOM, ROUND5_NOTES).  Cap resident keys, regenerate
+        # on demand (core/keystore.py).
         boot.setdefault("rot_key_budget_mb", int(os.environ.get(
             "SORTING_FHE_KEY_BUDGET_MB", "5120")))
     cfg = (full_config(p, **boot) if ring_log >= 16
